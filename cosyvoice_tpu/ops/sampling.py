@@ -1,0 +1,62 @@
+"""On-device token sampling: nucleus + Repetition-Aware Sampling (RAS).
+
+Vectorized re-derivation of the reference's Python sampling loop
+(cosyvoice/utils/common.py:138-167): nucleus top-p/top-k with *inclusive*
+p-crossing element, then VALL-E-2 RAS — if the sampled id already occurred
+>= win_size*tau_r times in the last win_size decoded tokens, resample from the
+full softmax with that id banned. Runs fully inside jit so the LM decode scan
+never leaves the device.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e30
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def nucleus_sampling(rng: jax.Array, logp: jax.Array, top_p: float = 0.8, top_k: int = 25) -> jax.Array:
+    """Sample from the top-p/top-k head of softmax(logp). logp: [V] log-probs.
+
+    Keep rule mirrors the reference loop: element i (prob-desc order) is kept
+    iff exclusive-cumsum(prob)[i] < top_p AND i < top_k, i.e. the element that
+    crosses top_p is included.
+    """
+    probs = jax.nn.softmax(logp)
+    sorted_probs = jnp.sort(probs)[::-1]
+    order = jnp.argsort(-probs, stable=True)
+    excl_cum = jnp.cumsum(sorted_probs) - sorted_probs
+    keep = (excl_cum < top_p) & (jnp.arange(logp.shape[0]) < top_k)
+    masked_logits = jnp.where(keep, jnp.log(jnp.maximum(sorted_probs, 1e-30)), NEG_INF)
+    pick = jax.random.categorical(rng, masked_logits)
+    return order[pick]
+
+
+def ras_sampling(
+    rng: jax.Array,
+    logp: jax.Array,
+    recent_tokens: jax.Array,
+    recent_len: jax.Array,
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+) -> jax.Array:
+    """Repetition-aware sampling.
+
+    Args:
+      logp: [V] log-probs (eos already masked by caller when ignore_eos).
+      recent_tokens: [win_size] int32 ring of the last decoded tokens
+        (pad with -1 when fewer than win_size decoded).
+      recent_len: scalar count of valid entries in recent_tokens.
+
+    Returns: scalar int32 token id.
+    """
+    rng1, rng2 = jax.random.split(rng)
+    cand = nucleus_sampling(rng1, logp, top_p=top_p, top_k=top_k)
+    valid = jnp.arange(recent_tokens.shape[0]) < recent_len
+    rep = jnp.sum((recent_tokens == cand) & valid)
+    resampled = jax.random.categorical(rng2, jnp.where(jnp.arange(logp.shape[0]) == cand, NEG_INF, logp))
+    return jnp.where(rep >= win_size * tau_r, resampled, cand).astype(jnp.int32)

@@ -1,0 +1,169 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import torch
+
+from cosyvoice_tpu.ops import (
+    stft,
+    istft,
+    hann_window,
+    mel_filterbank_slaney,
+    mel_spectrogram,
+    whisper_log_mel,
+    kaldi_fbank,
+    make_pad_mask,
+    subsequent_chunk_mask,
+    add_optional_chunk_mask,
+    mask_to_bias,
+    nucleus_sampling,
+    ras_sampling,
+    interpolate_linear,
+    interpolate_nearest,
+    repeat_interleave_time,
+    fade_in_out,
+    hamming_window,
+)
+
+
+class TestSTFT:
+    def test_stft_matches_torch(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 1024)).astype(np.float32)
+        n_fft, hop = 16, 4
+        win = hann_window(n_fft)
+        ours = stft(jnp.asarray(x), n_fft, hop, win)
+        theirs = torch.stft(
+            torch.from_numpy(x), n_fft, hop, n_fft,
+            window=torch.from_numpy(np.asarray(win)), return_complex=True,
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+    def test_istft_matches_torch(self):
+        rng = np.random.default_rng(1)
+        n_fft, hop, T = 16, 4, 64
+        win_np = np.asarray(hann_window(n_fft))
+        spec = (rng.standard_normal((1, n_fft // 2 + 1, T)) + 1j * rng.standard_normal((1, n_fft // 2 + 1, T))).astype(np.complex64)
+        spec[:, 0] = np.real(spec[:, 0])
+        spec[:, -1] = np.real(spec[:, -1])
+        ours = istft(jnp.asarray(spec), n_fft, hop, jnp.asarray(win_np))
+        theirs = torch.istft(torch.from_numpy(spec), n_fft, hop, n_fft, window=torch.from_numpy(win_np)).numpy()
+        assert ours.shape == theirs.shape
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-3)
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((480 * 10,)).astype(np.float32)
+        n_fft, hop = 16, 4
+        win = hann_window(n_fft)
+        y = istft(stft(jnp.asarray(x), n_fft, hop, win), n_fft, hop, win)
+        np.testing.assert_allclose(np.asarray(y), x[: y.shape[-1]], atol=1e-4)
+
+
+class TestMel:
+    def test_slaney_filterbank_shape_and_coverage(self):
+        fb = mel_filterbank_slaney(24000, 1920, 80, 0, 8000)
+        assert fb.shape == (80, 961)
+        # every mel band has nonzero weight; bands below fmax only
+        assert (fb.sum(axis=1) > 0).all()
+        freqs = np.linspace(0, 12000, 961)
+        assert fb[:, freqs > 8100].sum() == 0
+
+    def test_mel_spectrogram_shape(self):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 480 * 20)).astype(np.float32)) * 0.1
+        m = mel_spectrogram(x)
+        assert m.shape == (1, 80, 20)
+        assert np.isfinite(np.asarray(m)).all()
+
+    def test_whisper_mel_shape_and_range(self):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((16000,)).astype(np.float32)) * 0.1
+        m = whisper_log_mel(x)
+        assert m.shape == (128, 100)
+        m = np.asarray(m)
+        assert m.max() <= 3.0 and m.min() >= m.max() - 2.01  # (log range 8)/4
+
+    def test_kaldi_fbank_shape(self):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((16000,)).astype(np.float32))
+        f = kaldi_fbank(x, cmn=True)
+        assert f.shape == (98, 80)  # snip_edges: 1+(16000-400)//160
+        np.testing.assert_allclose(np.asarray(f).mean(axis=0), 0.0, atol=1e-4)
+
+
+class TestMasks:
+    def test_pad_mask(self):
+        m = make_pad_mask(jnp.asarray([2, 4]), 5)
+        assert np.asarray(m).tolist() == [[False, False, True, True, True], [False] * 4 + [True]]
+
+    def test_chunk_mask(self):
+        m = np.asarray(subsequent_chunk_mask(6, 2))
+        # row 0-1 can see cols 0-1; rows 2-3 see 0-3 ...
+        assert m[0].tolist() == [True, True, False, False, False, False]
+        assert m[3].tolist() == [True, True, True, True, False, False]
+
+    def test_add_optional_chunk_mask_full(self):
+        pad = jnp.asarray([[[True, True, False]]])
+        full = np.asarray(add_optional_chunk_mask(pad, 0))
+        assert full.shape == (1, 3, 3)
+        assert (full[0, :, 2] == False).all()  # noqa: E712
+
+    def test_mask_to_bias(self):
+        b = np.asarray(mask_to_bias(jnp.asarray([True, False])))
+        assert b[0] == 0.0 and b[1] == -1.0e10
+
+
+class TestSampling:
+    def test_nucleus_respects_topk(self):
+        logp = jnp.log(jnp.asarray([0.5, 0.3, 0.1, 0.05, 0.05]))
+        ids = [int(nucleus_sampling(jax.random.PRNGKey(i), logp, top_p=0.8, top_k=2)) for i in range(50)]
+        assert set(ids) <= {0, 1}
+
+    def test_nucleus_includes_crossing_element(self):
+        # p = [0.5, 0.4, 0.1]: cum before idx1 = 0.5 < 0.8 -> idx1 kept;
+        # cum before idx2 = 0.9 >= 0.8 -> idx2 dropped.
+        logp = jnp.log(jnp.asarray([0.5, 0.4, 0.1]))
+        ids = {int(nucleus_sampling(jax.random.PRNGKey(i), logp, top_p=0.8, top_k=25)) for i in range(100)}
+        assert ids == {0, 1}
+
+    def test_ras_resamples_on_repetition(self):
+        # token 0 dominates; it repeated >= 1 time in window -> must resample to != 0
+        logp = jnp.log(jnp.asarray([0.97, 0.01, 0.01, 0.01]))
+        recent = jnp.full((10,), -1, jnp.int32).at[0].set(0)
+        tok = ras_sampling(jax.random.PRNGKey(0), logp, recent, jnp.asarray(1), top_p=0.8, top_k=25)
+        assert int(tok) != 0
+
+    def test_ras_no_repetition_keeps_candidate(self):
+        logp = jnp.log(jnp.asarray([0.97, 0.01, 0.01, 0.01]))
+        recent = jnp.full((10,), -1, jnp.int32)
+        toks = {int(ras_sampling(jax.random.PRNGKey(i), logp, recent, jnp.asarray(0))) for i in range(20)}
+        assert toks == {0}
+
+
+class TestResample:
+    def test_linear_matches_torch(self):
+        x = np.random.default_rng(0).standard_normal((1, 3, 50)).astype(np.float32)
+        ours = interpolate_linear(jnp.asarray(x), 123)
+        theirs = torch.nn.functional.interpolate(torch.from_numpy(x), size=123, mode="linear").numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
+
+    def test_nearest_matches_torch(self):
+        x = np.random.default_rng(1).standard_normal((1, 2, 37)).astype(np.float32)
+        ours = interpolate_nearest(jnp.asarray(x), 74)
+        theirs = torch.nn.functional.interpolate(torch.from_numpy(x), size=74, mode="nearest").numpy()
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=0)
+
+    def test_repeat_interleave(self):
+        x = jnp.asarray([[1.0, 2.0]])
+        np.testing.assert_array_equal(np.asarray(repeat_interleave_time(x, 3)), [[1, 1, 1, 2, 2, 2]])
+
+
+class TestFade:
+    def test_fade_matches_reference_formula(self):
+        overlap = 8
+        win = hamming_window(2 * overlap)
+        new = jnp.ones((1, 20))
+        old_tail = jnp.full((1, overlap), 2.0)
+        out = np.asarray(fade_in_out(new, old_tail, win))
+        w = np.hamming(2 * overlap)
+        expected = 1.0 * w[:overlap] + 2.0 * w[overlap:]
+        np.testing.assert_allclose(out[0, :overlap], expected, rtol=1e-6)
+        np.testing.assert_allclose(out[0, overlap:], 1.0)
