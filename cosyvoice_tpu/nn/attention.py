@@ -1,0 +1,109 @@
+"""Multi-head attention with WeNet/ESPnet relative-position support.
+
+Re-derivation of the reference attention (cosyvoice/transformer/attention.py:
+26-330) in channel-last JAX. The espnet rel_shift pad-trick is replaced by an
+explicit gather — out[i, j] = bd[i, j + T1 - 1 - i] — which is algebraically
+identical (see attention.py:225-247) and maps to a single XLA gather.
+
+Masks are bool (True = attend). Fully-masked rows produce zeros (the
+reference post-softmax masked_fill, attention.py:113).
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e30
+
+
+def masked_softmax(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """scores [B,H,T1,T2]; mask [B,1 or T1,T2] bool or None."""
+    if mask is None:
+        return jax.nn.softmax(scores, axis=-1)
+    m = mask[:, None, :, :]
+    attn = jax.nn.softmax(jnp.where(m, scores, NEG_INF), axis=-1)
+    return jnp.where(m, attn, 0.0)
+
+
+class MultiHeadAttention(nn.Module):
+    """Absolute-position MHA (query/key/value/out linears, torch-compatible)."""
+
+    n_head: int
+    n_feat: int
+    key_bias: bool = True
+
+    def setup(self):
+        self.linear_q = nn.Dense(self.n_feat)
+        self.linear_k = nn.Dense(self.n_feat, use_bias=self.key_bias)
+        self.linear_v = nn.Dense(self.n_feat)
+        self.linear_out = nn.Dense(self.n_feat)
+
+    def _qkv(self, query, key, value):
+        B, T1, _ = query.shape
+        T2 = key.shape[1]
+        d_k = self.n_feat // self.n_head
+        q = self.linear_q(query).reshape(B, T1, self.n_head, d_k).transpose(0, 2, 1, 3)
+        k = self.linear_k(key).reshape(B, T2, self.n_head, d_k).transpose(0, 2, 1, 3)
+        v = self.linear_v(value).reshape(B, T2, self.n_head, d_k).transpose(0, 2, 1, 3)
+        return q, k, v
+
+    def _out(self, attn, v):
+        B = v.shape[0]
+        x = jnp.einsum("bhts,bhsd->bhtd", attn, v)
+        return self.linear_out(x.transpose(0, 2, 1, 3).reshape(B, x.shape[2], self.n_feat))
+
+    def __call__(self, query, key, value, mask=None, pos_emb=None, kv_cache=None):
+        """kv_cache: optional (k, v) [B,H,Tc,d] prepended to new keys/values.
+
+        Returns (out [B,T1,C], new_cache (k, v)).
+        """
+        q, k, v = self._qkv(query, key, value)
+        if kv_cache is not None:
+            k = jnp.concatenate([kv_cache[0], k], axis=2)
+            v = jnp.concatenate([kv_cache[1], v], axis=2)
+        d_k = self.n_feat // self.n_head
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / jnp.sqrt(d_k).astype(q.dtype)
+        return self._out(masked_softmax(scores, mask), v), (k, v)
+
+
+class RelPositionMultiHeadAttention(MultiHeadAttention):
+    """Transformer-XL style rel-pos MHA with espnet PE table."""
+
+    def setup(self):
+        super().setup()
+        d_k = self.n_feat // self.n_head
+        self.linear_pos = nn.Dense(self.n_feat, use_bias=False)
+        self.pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (self.n_head, d_k))
+        self.pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (self.n_head, d_k))
+
+    @staticmethod
+    def rel_shift(bd: jax.Array, t2: int) -> jax.Array:
+        """bd: [B,H,T1,P] with P = 2*T2-1 -> [B,H,T1,T2], out[i,j]=bd[i, j+T1-1-i]."""
+        B, H, T1, P = bd.shape
+        i = jnp.arange(T1)[:, None]
+        j = jnp.arange(t2)[None, :]
+        idx = j + (T1 - 1 - i)  # [T1, T2]
+        return jnp.take_along_axis(bd, jnp.broadcast_to(idx, (B, H, T1, t2)), axis=-1)
+
+    def __call__(self, query, key, value, mask=None, pos_emb=None, kv_cache=None):
+        B, T1, _ = query.shape
+        d_k = self.n_feat // self.n_head
+        q, k, v = self._qkv(query, key, value)
+        if kv_cache is not None:
+            k = jnp.concatenate([kv_cache[0], k], axis=2)
+            v = jnp.concatenate([kv_cache[1], v], axis=2)
+        t2 = k.shape[2]
+
+        p = self.linear_pos(pos_emb).reshape(1, -1, self.n_head, d_k).transpose(0, 2, 1, 3)
+        q = q.transpose(0, 2, 1, 3)  # [B,T1,H,d]
+        q_u = (q + self.pos_bias_u).transpose(0, 2, 1, 3)
+        q_v = (q + self.pos_bias_v).transpose(0, 2, 1, 3)
+
+        matrix_ac = jnp.einsum("bhtd,bhsd->bhts", q_u, k)
+        matrix_bd = jnp.einsum("bhtd,bhpd->bhtp", q_v, p)
+        if matrix_bd.shape != matrix_ac.shape:
+            matrix_bd = self.rel_shift(matrix_bd, t2)
+        scores = (matrix_ac + matrix_bd) / jnp.sqrt(d_k).astype(q.dtype)
+        return self._out(masked_softmax(scores, mask), v), (k, v)

@@ -1,0 +1,276 @@
+"""Conformer / transformer encoder stack (WeNet lineage, JAX re-design).
+
+Covers the reference's encoder family used by the shipped TTS configs:
+- ConformerEncoder with 'linear'/'embed' input layers + espnet rel-pos
+  attention (cosyvoice/transformer/encoder.py:338-387)
+- UpsampleConformerEncoder: pre-lookahead + 6 blocks + 2x nearest-upsample
+  conv + 4 blocks, with static-chunk streaming masks
+  (cosyvoice/transformer/upsample_encoder.py:106-321)
+
+All modules are channel-last [B, T, C]; streaming is expressed as full-prefix
+recompute with chunk masks (the reference's inference strategy for flow), so
+no KV caches are needed here and every call is a fixed-shape XLA program.
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cosyvoice_tpu.nn.attention import MultiHeadAttention, RelPositionMultiHeadAttention
+from cosyvoice_tpu.nn.conv import Conv1d, ConvolutionModule
+from cosyvoice_tpu.nn.embedding import EspnetRelPositionalEncoding
+from cosyvoice_tpu.ops.masks import add_optional_chunk_mask, make_non_pad_mask
+
+
+class PositionwiseFeedForward(nn.Module):
+    hidden_units: int
+    dropout_rate: float = 0.0
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        d = x.shape[-1]
+        x = nn.Dense(self.hidden_units, name="w_1")(x)
+        if self.activation == "swish":
+            x = x * jax.nn.sigmoid(x)
+        elif self.activation == "relu":
+            x = jax.nn.relu(x)
+        elif self.activation == "gelu":
+            x = jax.nn.gelu(x, approximate=False)
+        else:
+            raise ValueError(self.activation)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return nn.Dense(d, name="w_2")(x)
+
+
+class ConformerEncoderLayer(nn.Module):
+    """Pre-norm conformer block; macaron FFN and conv module optional
+    (reference: transformer/encoder_layer.py:109-260)."""
+
+    size: int
+    attention_heads: int
+    linear_units: int
+    dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    macaron_style: bool = False
+    use_cnn_module: bool = False
+    cnn_module_kernel: int = 15
+    causal_cnn: bool = False
+    key_bias: bool = True
+    selfattention_layer_type: str = "rel_selfattn"
+    activation: str = "swish"
+
+    @nn.compact
+    def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None, deterministic=True):
+        drop = nn.Dropout(self.dropout_rate)
+        if self.macaron_style:
+            residual = x
+            xn = nn.LayerNorm(epsilon=1e-12, name="norm_ff_macaron")(x)
+            x = residual + 0.5 * drop(
+                PositionwiseFeedForward(self.linear_units, self.dropout_rate, self.activation, name="feed_forward_macaron")(
+                    xn, deterministic
+                ),
+                deterministic=deterministic,
+            )
+        ff_scale = 0.5 if self.macaron_style else 1.0
+
+        residual = x
+        xn = nn.LayerNorm(epsilon=1e-12, name="norm_mha")(x)
+        attn_cls = (
+            RelPositionMultiHeadAttention if self.selfattention_layer_type == "rel_selfattn" else MultiHeadAttention
+        )
+        x_att, _ = attn_cls(self.attention_heads, self.size, key_bias=self.key_bias, name="self_attn")(
+            xn, xn, xn, mask=att_mask, pos_emb=pos_emb
+        )
+        x = residual + drop(x_att, deterministic=deterministic)
+
+        if self.use_cnn_module:
+            residual = x
+            xn = nn.LayerNorm(epsilon=1e-12, name="norm_conv")(x)
+            xc, _ = ConvolutionModule(
+                self.size, self.cnn_module_kernel, causal=self.causal_cnn, name="conv_module"
+            )(xn, pad_mask)
+            x = residual + drop(xc, deterministic=deterministic)
+
+        residual = x
+        xn = nn.LayerNorm(epsilon=1e-12, name="norm_ff")(x)
+        x = residual + ff_scale * drop(
+            PositionwiseFeedForward(self.linear_units, self.dropout_rate, self.activation, name="feed_forward")(
+                xn, deterministic
+            ),
+            deterministic=deterministic,
+        )
+        if self.use_cnn_module:
+            x = nn.LayerNorm(epsilon=1e-12, name="norm_final")(x)
+        return x
+
+
+class LinearInputLayer(nn.Module):
+    """'linear' input layer: Dense + LayerNorm + dropout (subsampling.py:56-88)."""
+
+    output_size: int
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = nn.Dense(self.output_size, name="out_dense")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="out_norm")(x)
+        return nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+
+
+class ConformerEncoder(nn.Module):
+    """Generic (conformer or transformer) encoder over full sequences."""
+
+    output_size: int = 512
+    attention_heads: int = 8
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    input_layer: str = "linear"
+    static_chunk_size: int = 0
+    macaron_style: bool = False
+    use_cnn_module: bool = False
+    key_bias: bool = True
+    selfattention_layer_type: str = "rel_selfattn"
+    activation: str = "swish"
+    vocab_size: int = 0  # for input_layer == 'embed'
+
+    def setup(self):
+        if self.input_layer == "linear":
+            self.embed = LinearInputLayer(self.output_size, self.dropout_rate)
+        elif self.input_layer == "embed":
+            self.embed_tokens = nn.Embed(self.vocab_size, self.output_size)
+        else:
+            raise ValueError(self.input_layer)
+        self.pos_enc = EspnetRelPositionalEncoding(self.output_size)
+        self.encoders = [
+            ConformerEncoderLayer(
+                self.output_size,
+                self.attention_heads,
+                self.linear_units,
+                self.dropout_rate,
+                macaron_style=self.macaron_style,
+                use_cnn_module=self.use_cnn_module,
+                key_bias=self.key_bias,
+                selfattention_layer_type=self.selfattention_layer_type,
+                activation=self.activation,
+                name=f"encoders_{i}",
+            )
+            for i in range(self.num_blocks)
+        ]
+        self.after_norm = nn.LayerNorm(epsilon=1e-5)
+
+    def __call__(self, xs, xs_lens, streaming=False, deterministic=True):
+        T = xs.shape[1]
+        pad_mask = make_non_pad_mask(xs_lens, T)  # [B, T]
+        if self.input_layer == "embed":
+            xs = self.embed_tokens(xs)
+        else:
+            xs = self.embed(xs, deterministic)
+        xs, pos_emb = self.pos_enc(xs)
+        att_mask = add_optional_chunk_mask(pad_mask[:, None, :], self.static_chunk_size if streaming else 0)
+        for layer in self.encoders:
+            xs = layer(xs, att_mask, pos_emb, pad_mask, deterministic)
+        return self.after_norm(xs), pad_mask
+
+
+class PreLookaheadLayer(nn.Module):
+    """3-token lookahead conv + causal conv + residual
+    (reference: transformer/upsample_encoder.py:66-103)."""
+
+    channels: int
+    pre_lookahead_len: int = 3
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        """x: [B, T, C]; context: [B, pre_lookahead_len, C] future tokens or None."""
+        in_ch = x.shape[-1]
+        if context is None:
+            h = jnp.pad(x, ((0, 0), (0, self.pre_lookahead_len), (0, 0)))
+        else:
+            assert context.shape[1] == self.pre_lookahead_len
+            h = jnp.concatenate([x, context], axis=1)
+        h = Conv1d(self.channels, self.pre_lookahead_len + 1, name="conv1")(h)
+        h = jax.nn.leaky_relu(h, negative_slope=0.01)
+        h = jnp.pad(h, ((0, 0), (2, 0), (0, 0)))
+        h = Conv1d(in_ch, 3, name="conv2")(h)
+        return h + x
+
+
+class Upsample1DConv(nn.Module):
+    """2x nearest upsample + left-padded conv (upsample_encoder.py:37-63)."""
+
+    channels: int
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(x, self.stride, axis=1)
+        x = jnp.pad(x, ((0, 0), (self.stride * 2, 0), (0, 0)))
+        return Conv1d(self.channels, self.stride * 2 + 1, name="conv")(x)
+
+
+class UpsampleConformerEncoder(nn.Module):
+    """Flow-v2 encoder: lookahead + 6 conformer blocks + 2x upsample + 4 blocks."""
+
+    output_size: int = 512
+    attention_heads: int = 8
+    linear_units: int = 2048
+    num_blocks: int = 6
+    num_up_blocks: int = 4
+    dropout_rate: float = 0.1
+    static_chunk_size: int = 25
+    pre_lookahead_len: int = 3
+    up_stride: int = 2
+
+    def setup(self):
+        self.embed = LinearInputLayer(self.output_size, self.dropout_rate)
+        self.pos_enc = EspnetRelPositionalEncoding(self.output_size)
+        self.pre_lookahead_layer = PreLookaheadLayer(self.output_size, self.pre_lookahead_len)
+        self.encoders = [
+            ConformerEncoderLayer(
+                self.output_size, self.attention_heads, self.linear_units, self.dropout_rate, name=f"encoders_{i}"
+            )
+            for i in range(self.num_blocks)
+        ]
+        self.up_layer = Upsample1DConv(self.output_size, self.up_stride)
+        self.up_embed = LinearInputLayer(self.output_size, self.dropout_rate)
+        self.up_pos_enc = EspnetRelPositionalEncoding(self.output_size)
+        self.up_encoders = [
+            ConformerEncoderLayer(
+                self.output_size, self.attention_heads, self.linear_units, self.dropout_rate, name=f"up_encoders_{i}"
+            )
+            for i in range(self.num_up_blocks)
+        ]
+        self.after_norm = nn.LayerNorm(epsilon=1e-5)
+
+    def __call__(self, xs, xs_lens, context=None, streaming=False, deterministic=True):
+        """xs: [B, T, C]; context: [B, pre_lookahead_len, C] raw embeddings or None.
+
+        Returns ([B, 2T, C], up-sampled pad mask [B, 2T]).
+        """
+        T = xs.shape[1]
+        pad_mask = make_non_pad_mask(xs_lens, T)
+        xs = self.embed(xs, deterministic)
+        xs, pos_emb = self.pos_enc(xs)
+        if context is not None:
+            context = self.embed(context, deterministic) * self.pos_enc.xscale
+        att_mask = add_optional_chunk_mask(pad_mask[:, None, :], self.static_chunk_size if streaming else 0)
+        xs = self.pre_lookahead_layer(xs, context=context)
+        for layer in self.encoders:
+            xs = layer(xs, att_mask, pos_emb, pad_mask, deterministic)
+
+        xs = self.up_layer(xs)
+        up_lens = xs_lens * self.up_stride
+        T2 = xs.shape[1]
+        pad_mask2 = make_non_pad_mask(up_lens, T2)
+        xs = self.up_embed(xs, deterministic)
+        xs, pos_emb2 = self.up_pos_enc(xs)
+        att_mask2 = add_optional_chunk_mask(
+            pad_mask2[:, None, :], self.static_chunk_size * self.up_stride if streaming else 0
+        )
+        for layer in self.up_encoders:
+            xs = layer(xs, att_mask2, pos_emb2, pad_mask2, deterministic)
+        return self.after_norm(xs), pad_mask2
