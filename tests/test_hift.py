@@ -1,0 +1,66 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+
+K = jax.random.PRNGKey
+
+
+def tiny_cfg(causal=False):
+    return HiFTConfig(
+        base_channels=32,
+        upsample_rates=(8, 5, 3),
+        upsample_kernel_sizes=(16, 11, 7),
+        resblock_kernel_sizes=(3,),
+        resblock_dilations=((1, 3),),
+        source_resblock_kernel_sizes=(7, 7, 11),
+        source_resblock_dilations=((1,), (1,), (1,)),
+        causal=causal,
+    )
+
+
+class TestHiFT:
+    def test_shapes_and_finiteness(self):
+        m = HiFTGenerator(tiny_cfg())
+        mel = jnp.asarray(np.random.default_rng(0).standard_normal((1, 24, 80)).astype(np.float32))
+        params = m.init(K(0), mel, K(1))
+        wav, f0 = m.apply(params, mel, K(1))
+        assert wav.shape == (1, 24 * 480)
+        assert f0.shape == (1, 24)
+        assert np.isfinite(np.asarray(wav)).all()
+        assert np.abs(np.asarray(wav)).max() <= 0.99
+
+    def test_inference_source_cache_splice(self):
+        m = HiFTGenerator(tiny_cfg())
+        mel = jnp.asarray(np.random.default_rng(1).standard_normal((1, 16, 80)).astype(np.float32))
+        params = m.init(K(0), mel, K(1))
+        wav, src = m.apply(params, mel, K(1), method="inference")
+        assert src.shape == (1, 16 * 480)
+        cache = src[:, :480]
+        wav2, src2 = m.apply(params, mel, K(2), cache_source=cache, method="inference")
+        np.testing.assert_allclose(np.asarray(src2[:, :480]), np.asarray(cache), atol=0)
+
+    def test_causal_chunk_equals_full(self):
+        """Reference golden test (generator.py:729-746): cumulative chunked
+        decode of the causal vocoder matches the full pass."""
+        m = HiFTGenerator(tiny_cfg(causal=True))
+        max_len, chunk, ctx = 48, 16, 8
+        mel = jnp.asarray(np.random.default_rng(2).random((1, max_len, 80)).astype(np.float32))
+        params = m.init(K(0), mel, K(1))
+        full, _ = m.apply(params, mel, K(1), method="inference")
+        for i in range(0, max_len, chunk):
+            finalize = i + chunk + ctx >= max_len
+            part = mel[:, : max_len if finalize else i + chunk + ctx]
+            pred, _ = m.apply(params, part, K(1), finalize=finalize, method="inference")
+            pred = np.asarray(pred[:, i * 480:])
+            ref = np.asarray(full[:, i * 480 : i * 480 + pred.shape[1]])
+            err = np.abs(pred - ref).max()
+            assert err < 5e-3, f"chunk {i}: max err {err}"
+
+    def test_prefix_stable_noise(self):
+        """jax.random.uniform prefix stability across lengths (needed for the
+        causal fixed-noise-buffer emulation)."""
+        a = jax.random.uniform(K(7), (1, 100, 9))
+        b = jax.random.uniform(K(7), (1, 60, 9))
+        np.testing.assert_array_equal(np.asarray(a[:, :60]), np.asarray(b))
