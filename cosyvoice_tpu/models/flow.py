@@ -1,0 +1,222 @@
+"""Flow acoustic model: speech tokens -> mel, via upsample-conformer + CFM.
+
+TPU re-design of cosyvoice/flow/flow.py:149-281 (CausalMaskedDiffWithXvec,
+the CosyVoice2 flow). The torch module tree is split into two functional
+parts with separate param trees:
+
+- `FlowEncoder` (linen): token embedding -> upsample conformer -> mu
+- `ConditionalDecoder` estimator driven by the pure `solve_euler` scan
+
+`CausalFlow` orchestrates them. All inference entry points take concrete
+(optionally tail-padded) arrays plus true lengths; padding is numerics-neutral
+(masked attention + LayerNorm-only blocks), so the engine can bucket lengths
+to bound XLA recompilation.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cosyvoice_tpu.models.flow_decoder import ConditionalDecoder, EstimatorConfig
+from cosyvoice_tpu.models.flow_matching import CFMConfig, cfm_loss, fixed_noise_buffer, solve_euler
+from cosyvoice_tpu.nn.conformer import UpsampleConformerEncoder
+from cosyvoice_tpu.ops.masks import make_non_pad_mask
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    input_size: int = 512
+    output_size: int = 80
+    spk_embed_dim: int = 192
+    vocab_size: int = 6561
+    input_frame_rate: int = 25
+    token_mel_ratio: int = 2
+    pre_lookahead_len: int = 3
+    chunk_size: int = 25  # streaming chunk, tokens
+    # encoder dims
+    attention_heads: int = 8
+    linear_units: int = 2048
+    num_blocks: int = 6
+    num_up_blocks: int = 4
+    estimator: EstimatorConfig = field(default_factory=EstimatorConfig)
+    cfm: CFMConfig = field(default_factory=CFMConfig)
+
+
+class FlowEncoder(nn.Module):
+    """Embedding + spk projection + upsample conformer + mel projection."""
+
+    cfg: FlowConfig
+
+    def setup(self):
+        c = self.cfg
+        self.input_embedding = nn.Embed(c.vocab_size, c.input_size)
+        self.spk_embed_affine_layer = nn.Dense(c.output_size)
+        self.encoder = UpsampleConformerEncoder(
+            output_size=c.input_size,
+            attention_heads=c.attention_heads,
+            linear_units=c.linear_units,
+            num_blocks=c.num_blocks,
+            num_up_blocks=c.num_up_blocks,
+            static_chunk_size=c.chunk_size,
+            pre_lookahead_len=c.pre_lookahead_len,
+            up_stride=c.token_mel_ratio,
+        )
+        self.encoder_proj = nn.Dense(c.output_size)
+
+    def init_all(self, token, token_len, embedding):
+        """Trace every submodule once so init() materializes all params."""
+        mu, mask = self(token, token_len)
+        return mu, mask, self.project_spk(embedding)
+
+    def project_spk(self, embedding: jax.Array) -> jax.Array:
+        """l2-normalize the x-vector then project 192 -> 80 (flow.py:248-249)."""
+        embedding = embedding / (jnp.linalg.norm(embedding, axis=-1, keepdims=True) + 1e-12)
+        return self.spk_embed_affine_layer(embedding)
+
+    def __call__(
+        self,
+        token: jax.Array,
+        token_len: jax.Array,
+        streaming: bool = False,
+        finalize: bool = True,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """token: [B, L] int32 (last pre_lookahead_len entries are the
+        lookahead context when finalize=False). Returns (mu [B, L*r, 80],
+        mel pad mask [B, L*r])."""
+        c = self.cfg
+        L = token.shape[1]
+        mask = make_non_pad_mask(token_len, L)
+        emb = self.input_embedding(jnp.clip(token, 0)) * mask[..., None]
+        if finalize:
+            h, mel_mask = self.encoder(emb, token_len, context=None, streaming=streaming, deterministic=deterministic)
+        else:
+            la = c.pre_lookahead_len
+            h, mel_mask = self.encoder(
+                emb[:, :-la], token_len - la, context=emb[:, -la:], streaming=streaming, deterministic=deterministic
+            )
+        return self.encoder_proj(h), mel_mask
+
+
+class CausalFlow:
+    """CosyVoice2/3-style causal flow model (functional orchestrator)."""
+
+    def __init__(self, cfg: FlowConfig = FlowConfig()):
+        self.cfg = cfg
+        self.encoder = FlowEncoder(cfg)
+        self.estimator = ConditionalDecoder(cfg.estimator)
+
+    # ---------------- init ----------------
+    def init(self, rng: jax.Array) -> dict:
+        k1, k2 = jax.random.split(rng)
+        tok = jnp.zeros((1, 2 * self.cfg.chunk_size), jnp.int32)
+        enc_params = self.encoder.init(
+            k1, tok, jnp.asarray([tok.shape[1]]), jnp.zeros((1, self.cfg.spk_embed_dim)), method="init_all"
+        )
+        T = tok.shape[1] * self.cfg.token_mel_ratio
+        est_params = self.estimator.init(
+            k2,
+            jnp.zeros((1, T, 80)),
+            jnp.ones((1, T)),
+            jnp.zeros((1, T, 80)),
+            jnp.zeros((1,)),
+            jnp.zeros((1, 80)),
+            jnp.zeros((1, T, 80)),
+        )
+        return {"encoder": enc_params, "estimator": est_params}
+
+    def _estimator_apply(self, params, x, mask, mu, t, spks, cond, streaming):
+        return self.estimator.apply(params, x, mask, mu, t, spks, cond, streaming)
+
+    # ---------------- inference ----------------
+    def inference(
+        self,
+        params: dict,
+        token: jax.Array,
+        token_len: jax.Array,
+        conds: jax.Array,
+        embedding: jax.Array,
+        streaming: bool = False,
+        finalize: bool = True,
+        temperature: float = 1.0,
+    ) -> jax.Array:
+        """token: [1, L] prompt+generated tokens (tail-padded ok; true length
+        in token_len; includes lookahead tail when finalize=False).
+        conds: [1, L*r, 80] prompt mel at the front, zeros elsewhere.
+        embedding: [1, 192] raw x-vector.
+
+        Returns mel [1, L*r, 80] (mel frames beyond 2*token_len are zeros);
+        the engine slices out [prompt_mel_len : 2*token_len).
+        """
+        c = self.cfg
+        mu, mel_mask = self.encoder.apply(
+            params["encoder"], token, token_len, streaming=streaming, finalize=finalize
+        )
+        spks = self.encoder.apply(params["encoder"], embedding, method="project_spk")
+        T = mu.shape[1]
+        z = jnp.asarray(fixed_noise_buffer()[None, :T]) * temperature
+        mask_f = mel_mask.astype(mu.dtype)
+        mel = solve_euler(
+            self._estimator_apply,
+            params["estimator"],
+            z,
+            mu,
+            mask_f,
+            spks,
+            conds,
+            c.cfm,
+            streaming=streaming,
+        )
+        return mel * mask_f[..., None]
+
+    # ---------------- training ----------------
+    def loss(
+        self,
+        params: dict,
+        rng: jax.Array,
+        token: jax.Array,
+        token_len: jax.Array,
+        feat: jax.Array,
+        feat_len: jax.Array,
+        embedding: jax.Array,
+        streaming: bool,
+        cond_drop_rng: Optional[jax.Array] = None,
+    ):
+        """Unified streaming/offline CFM training step (flow.py:186-233).
+
+        feat: [B, Tmel, 80] target mel; token already includes no lookahead
+        split (training always runs finalize semantics). The random
+        prompt-conditioning prefix (0-30% of feat, 50% of the time) comes from
+        `cond_drop_rng`.
+        """
+        k_cond, k_cfm = jax.random.split(rng)
+        mu, mel_mask = self.encoder.apply(params["encoder"], token, token_len, streaming=streaming, finalize=True)
+        spks = self.encoder.apply(params["encoder"], embedding, method="project_spk")
+
+        B, Tmel, _ = feat.shape
+        # random conditioning prefix: index ~ U[0, 0.3*feat_len) when coin<0.5
+        k1, k2 = jax.random.split(cond_drop_rng if cond_drop_rng is not None else k_cond)
+        coin = jax.random.uniform(k1, (B,))
+        frac = jax.random.uniform(k2, (B,))
+        idx = jnp.where(coin < 0.5, (frac * 0.3 * feat_len).astype(jnp.int32), 0)
+        cond_mask = (jnp.arange(Tmel)[None, :] < idx[:, None]).astype(feat.dtype)
+        conds = feat * cond_mask[..., None]
+
+        mask_f = make_non_pad_mask(feat_len, Tmel).astype(feat.dtype)
+        mu = mu[:, :Tmel]
+        loss, _ = cfm_loss(
+            self._estimator_apply,
+            params["estimator"],
+            k_cfm,
+            feat,
+            mask_f,
+            mu,
+            spks,
+            conds,
+            self.cfg.cfm,
+            streaming=streaming,
+        )
+        return loss
