@@ -1,0 +1,248 @@
+"""Speech-token language models (CosyVoice2's Qwen2LM re-designed for TPU).
+
+Reference behavior: cosyvoice/llm/llm.py:257-661. The LM consumes a mixed
+sequence of [sos][text tokens][task_id][prompt speech tokens] embeddings and
+autoregressively emits speech tokens with RAS sampling; bistream mode
+interleaves 5 text / 15 speech tokens with a fill token.
+
+TPU design:
+- mixed inputs are (ids, types) pairs embedded by a vectorized 3-way select
+  (TEXT -> Qwen embed table, SPEECH -> speech table, SPECIAL -> sos/task)
+- prompt prefill is one fused call into a preallocated KV arena
+- decoding runs in BLOCKS of `block_size` tokens inside one lax.scan — the
+  hot loop (24-layer step + head + log-softmax + RAS sampling) never leaves
+  the device; the host only sees one transfer per block
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.models.qwen2 import Qwen2Config, Qwen2Model
+from cosyvoice_tpu.ops.sampling import ras_sampling
+
+# input token source types
+TYPE_TEXT = 0
+TYPE_SPEECH = 1
+TYPE_SPECIAL = 2  # llm_embedding rows: 0 = sos, 1 = task_id
+
+IGNORE_ID = -100
+
+
+@dataclass(frozen=True)
+class LMConfig:
+    speech_token_size: int = 6561
+    num_special_head: int = 3  # eos / unused / fill  (v3: 200)
+    llm_input_size: int = 896
+    mix_ratio: Tuple[int, int] = (5, 15)
+    top_p: float = 0.8
+    top_k: int = 25
+    win_size: int = 10
+    tau_r: float = 0.1
+    block_size: int = 28  # tokens decoded per device call (= chunk 25 + lookahead 3)
+    qwen: Qwen2Config = field(default_factory=Qwen2Config)
+    # v3-style token layout: sos/eos/task/fill live inside the speech table
+    special_in_speech_table: bool = False
+
+    @property
+    def head_size(self) -> int:
+        return self.speech_token_size + self.num_special_head
+
+    @property
+    def eos_token(self) -> int:
+        return self.speech_token_size
+
+    @property
+    def fill_token(self) -> int:
+        return self.speech_token_size + (3 if self.special_in_speech_table else 2)
+
+    @property
+    def sos_id(self) -> int:
+        return self.speech_token_size if self.special_in_speech_table else 0
+
+    @property
+    def task_id(self) -> int:
+        return self.speech_token_size + 2 if self.special_in_speech_table else 1
+
+
+class Qwen2LMModule(nn.Module):
+    cfg: LMConfig
+
+    def setup(self):
+        c = self.cfg
+        self.llm = Qwen2Model(c.qwen)
+        dim = c.qwen.hidden_size
+        if not c.special_in_speech_table:
+            self.llm_embedding = nn.Embed(2, dim)
+        self.speech_embedding = nn.Embed(c.head_size, dim)
+        self.llm_decoder = nn.Dense(c.head_size, use_bias=not c.special_in_speech_table)
+
+    # ---------------- embedding of mixed sequences ----------------
+    def embed_input(self, ids: jax.Array, types: jax.Array) -> jax.Array:
+        """ids/types: [B, T] -> [B, T, C]."""
+        safe = jnp.clip(ids, 0)
+        text = self.llm.embed_text(jnp.where(types == TYPE_TEXT, safe, 0))
+        speech = self.speech_embedding(jnp.where(types == TYPE_SPEECH, jnp.minimum(safe, self.cfg.head_size - 1), 0))
+        if self.cfg.special_in_speech_table:
+            special = self.speech_embedding(jnp.where(types == TYPE_SPECIAL, jnp.minimum(safe, self.cfg.head_size - 1), 0))
+        else:
+            special = self.llm_embedding(jnp.where(types == TYPE_SPECIAL, jnp.minimum(safe, 1), 0))
+        out = jnp.where(
+            (types == TYPE_TEXT)[..., None], text, jnp.where((types == TYPE_SPEECH)[..., None], speech, special)
+        )
+        return out
+
+    # ---------------- training ----------------
+    def forward_logits(self, ids, types, lengths):
+        """Full teacher-forced forward -> logits [B, T, head]."""
+        embeds = self.embed_input(ids, types)
+        valid = jnp.arange(ids.shape[1])[None, :] < lengths[:, None]
+        hidden = self.llm(embeds, valid)
+        return self.llm_decoder(hidden).astype(jnp.float32)
+
+    # ---------------- inference ----------------
+    def prefill(self, ids, types, true_len, cache):
+        embeds = self.embed_input(ids, types)
+        hidden_last, cache = self.llm.prefill(embeds, true_len, cache)
+        logits = self.llm_decoder(hidden_last).astype(jnp.float32)
+        return logits, cache
+
+    def decode_step(self, token: jax.Array, cur_len: jax.Array, cache):
+        """token: [B] previous speech token -> (logits [B, head], cache)."""
+        emb = self.speech_embedding(jnp.minimum(token, self.cfg.head_size - 1))[:, None, :]
+        hidden, cache = self.llm.decode_step(emb, cur_len, cache)
+        return self.llm_decoder(hidden).astype(jnp.float32), cache
+
+
+class Qwen2LM:
+    """Functional orchestrator: jitted prefill + blockwise decode."""
+
+    def __init__(self, cfg: LMConfig = LMConfig()):
+        self.cfg = cfg
+        self.module = Qwen2LMModule(cfg)
+        self._jit_prefill = jax.jit(
+            lambda p, ids, types, tl, cache: self.module.apply(p, ids, types, tl, cache, method="prefill")
+        )
+        self._jit_decode_block = jax.jit(self._decode_block_impl, static_argnames=("block_size",), donate_argnums=(2,))
+
+    def init(self, rng: jax.Array) -> dict:
+        ids = jnp.zeros((1, 8), jnp.int32)
+        types = jnp.zeros((1, 8), jnp.int32)
+        return self.module.init(rng, ids, types, jnp.asarray([8]), method="forward_logits")
+
+    def init_cache(self, batch: int = 1):
+        q = self.cfg.qwen
+        shape = (q.num_layers, batch, q.max_cache_len, q.num_kv_heads, q.head_dim)
+        return (jnp.zeros(shape, q.dtype), jnp.zeros(shape, q.dtype))
+
+    # ---------------- decode ----------------
+    def _decode_block_impl(
+        self,
+        params,
+        rng,
+        cache,
+        cur_len,          # [B] positions already in cache
+        first_logits,     # [B, head] logits for the next token (from prefill or carry)
+        recent,           # [B, win] ring of last tokens
+        n_decoded,        # [B]
+        min_len,          # [B]
+        finished,         # [B] bool
+        block_size: int,
+    ):
+        """Decode up to block_size tokens fully on device.
+
+        Returns (tokens [B, block], logits_next, cache, cur_len, recent,
+        n_decoded, finished).
+        """
+        c = self.cfg
+        eos = c.eos_token
+
+        def sample(rng_k, logits, n_dec, rec):
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            # suppress eos before min_len (llm.py:150-160 ignore_eos)
+            logp = jnp.where(
+                (jnp.arange(c.head_size)[None, :] == eos) & (n_dec < min_len)[:, None], -1.0e30, logp
+            )
+            toks = []
+            for b in range(logits.shape[0]):
+                toks.append(
+                    ras_sampling(
+                        jax.random.fold_in(rng_k, b), logp[b], rec[b], jnp.minimum(n_dec[b], c.win_size),
+                        top_p=c.top_p, top_k=c.top_k, win_size=c.win_size, tau_r=c.tau_r,
+                    )
+                )
+            return jnp.stack(toks)
+
+        def step(carry, _):
+            rng_c, cache_c, cur, logits, rec, n_dec, fin = carry
+            rng_c, k = jax.random.split(rng_c)
+            tok = sample(k, logits, n_dec, rec)
+            stop_now = tok >= c.speech_token_size
+            tok_out = jnp.where(fin, eos, tok)
+            fin_next = fin | stop_now
+            rec = jnp.where(
+                fin[:, None], rec, jnp.concatenate([rec[:, 1:], tok[:, None]], axis=1)
+            )
+            n_dec = jnp.where(fin, n_dec, n_dec + 1)
+            logits_next, cache_c = self.module.apply(params, tok_out, cur, cache_c, method="decode_step")
+            cur = cur + jnp.where(fin, 0, 1)
+            return (rng_c, cache_c, cur, logits_next, rec, n_dec, fin_next), tok_out
+
+        carry0 = (rng, cache, cur_len, first_logits, recent, n_decoded, finished)
+        carry, tokens = jax.lax.scan(step, carry0, None, length=block_size)
+        _, cache, cur_len, logits_next, recent, n_decoded, finished = carry
+        return tokens.swapaxes(0, 1), logits_next, cache, cur_len, recent, n_decoded, finished
+
+    def generate(
+        self,
+        params: dict,
+        prompt_ids: np.ndarray,
+        prompt_types: np.ndarray,
+        rng: jax.Array,
+        min_len: int,
+        max_len: int,
+        block_size: Optional[int] = None,
+    ):
+        """Host generator: yields speech-token blocks (np.ndarray) until stop.
+
+        prompt_ids/types: [T] mixed sequence [sos, text..., task, prompt speech...].
+        """
+        c = self.cfg
+        block_size = block_size or c.block_size
+        T = len(prompt_ids)
+        # tail-pad prompt to a bucket to bound prefill recompiles
+        bucket = 128
+        pad_T = ((T + bucket - 1) // bucket) * bucket
+        ids = np.zeros((1, pad_T), np.int32)
+        types = np.full((1, pad_T), TYPE_SPEECH, np.int32)
+        ids[0, :T] = prompt_ids
+        types[0, :T] = prompt_types
+
+        cache = self.init_cache(1)
+        logits, cache = self._jit_prefill(params, jnp.asarray(ids), jnp.asarray(types), jnp.asarray([T]), cache)
+
+        cur_len = jnp.asarray([T])
+        recent = jnp.full((1, c.win_size), -1, jnp.int32)
+        n_decoded = jnp.zeros((1,), jnp.int32)
+        finished = jnp.zeros((1,), bool)
+        min_l = jnp.asarray([min_len], jnp.int32)
+
+        produced = 0
+        while produced < max_len and not bool(finished[0]):
+            rng, k = jax.random.split(rng)
+            tokens, logits, cache, cur_len, recent, n_decoded, finished = self._jit_decode_block(
+                params, k, cache, cur_len, logits, recent, n_decoded, min_l, finished, block_size
+            )
+            toks = np.asarray(tokens[0])
+            stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
+            if len(stop_idx):
+                toks = toks[: stop_idx[0]]
+            toks = toks[: max_len - produced]
+            produced += len(toks)
+            if len(toks):
+                yield toks

@@ -1,0 +1,207 @@
+"""Qwen2 transformer backbone in JAX (GQA + RoPE + SwiGLU + RMSNorm).
+
+The speech LM of CosyVoice2/3 wraps HF Qwen2-0.5B as an embeddings-in /
+hidden-out encoder (reference: cosyvoice/llm/llm.py:226-254). This is a
+TPU-first re-implementation:
+
+- preallocated ring KV cache [L, B, max_len, Hkv, d] updated with
+  lax.dynamic_update_slice — no per-step concat, fixed shapes forever
+- decode attends to the full arena masked by position < cur_len (one
+  fused masked matmul per layer; replaceable by a Pallas kernel)
+- bf16 compute / fp32 params + fp32 softmax & norms
+
+Weight layout matches HF Qwen2ForCausalLM module names for checkpoint
+conversion (q/k/v/o_proj, gate/up/down_proj, input/post_attention_layernorm).
+"""
+
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.nn.embedding import apply_rope, rope_frequencies
+
+
+@dataclass(frozen=True)
+class Qwen2Config:
+    hidden_size: int = 896
+    num_layers: int = 24
+    num_heads: int = 14
+    num_kv_heads: int = 2
+    head_dim: int = 64
+    intermediate_size: int = 4864
+    vocab_size: int = 151936
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1e6
+    max_cache_len: int = 4096
+    dtype: Any = jnp.bfloat16
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        x32 = x.astype(jnp.float32)
+        x32 = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + self.eps)
+        return (x32 * w).astype(x.dtype)
+
+
+class Qwen2Attention(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask_bias, kv_write_pos=None, cache=None):
+        """x: [B, S, C]; cos/sin: [S, d/2] rope slices for these positions;
+        mask_bias: [B, 1, S, T] additive; cache: optional (k, v) each
+        [B, max_len, Hkv, d] with kv_write_pos scalar -> returns updated.
+        """
+        c = self.cfg
+        B, S, _ = x.shape
+        q = nn.Dense(c.num_heads * c.head_dim, dtype=c.dtype, name="q_proj")(x)
+        k = nn.Dense(c.num_kv_heads * c.head_dim, dtype=c.dtype, name="k_proj")(x)
+        v = nn.Dense(c.num_kv_heads * c.head_dim, dtype=c.dtype, name="v_proj")(x)
+        q = q.reshape(B, S, c.num_heads, c.head_dim)
+        k = k.reshape(B, S, c.num_kv_heads, c.head_dim)
+        v = v.reshape(B, S, c.num_kv_heads, c.head_dim)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if cache is not None:
+            ck, cv = cache
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, kv_write_pos, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, kv_write_pos, 0, 0))
+            k_all, v_all = ck, cv
+            new_cache = (ck, cv)
+        else:
+            k_all, v_all = k, v
+            new_cache = None
+
+        # GQA: repeat kv heads
+        rep = c.num_heads // c.num_kv_heads
+        k_all = jnp.repeat(k_all, rep, axis=2)
+        v_all = jnp.repeat(v_all, rep, axis=2)
+
+        scores = jnp.einsum("bshd,bthd->bhst", q, k_all).astype(jnp.float32) / np.sqrt(c.head_dim)
+        scores = scores + mask_bias
+        attn = jax.nn.softmax(scores, axis=-1).astype(c.dtype)
+        out = jnp.einsum("bhst,bthd->bshd", attn, v_all).reshape(B, S, c.num_heads * c.head_dim)
+        out = nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="o_proj")(out)
+        return out, new_cache
+
+
+class Qwen2MLP(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=c.dtype, name="gate_proj")(x)
+        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=c.dtype, name="up_proj")(x)
+        return nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="down_proj")(jax.nn.silu(gate) * up)
+
+
+class Qwen2Layer(nn.Module):
+    cfg: Qwen2Config
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask_bias, kv_write_pos=None, cache=None):
+        h = RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x)
+        attn_out, new_cache = Qwen2Attention(self.cfg, name="self_attn")(h, cos, sin, mask_bias, kv_write_pos, cache)
+        x = x + attn_out
+        h = RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+        x = x + Qwen2MLP(self.cfg, name="mlp")(h)
+        return x, new_cache
+
+
+class Qwen2Model(nn.Module):
+    """Backbone: embeds in, final hidden out. Text embedding table exposed via
+    `embed_tokens` for the LM's text side."""
+
+    cfg: Qwen2Config
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size, dtype=c.dtype)
+        self.layers = [Qwen2Layer(c, name=f"layers_{i}") for i in range(c.num_layers)]
+        self.norm = RMSNorm(c.rms_norm_eps)
+
+    def embed_text(self, token_ids):
+        return self.embed_tokens(token_ids)
+
+    def _rope(self):
+        c = self.cfg
+        return rope_frequencies(c.head_dim, c.max_cache_len, c.rope_theta)
+
+    def __call__(self, embeds, attn_mask):
+        """Full (training) forward. embeds: [B, T, C]; attn_mask: [B, T] bool
+        valid mask. Causal masking applied internally. Returns hidden [B,T,C].
+        """
+        B, T, _ = embeds.shape
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        mask = causal[None, :, :] & attn_mask[:, None, :]
+        bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[:, None, :, :]
+        rc, rs = self._rope()
+        cos, sin = rc[:T], rs[:T]
+        x = embeds.astype(self.cfg.dtype)
+        for layer in self.layers:
+            x, _ = layer(x, cos, sin, bias)
+        return self.norm(x)
+
+    def prefill(self, embeds, true_len, cache):
+        """Write the prompt into the KV arena. embeds: [B, S, C] tail-padded;
+        true_len: [B] actual lengths. Returns (hidden_last [B, C], cache).
+
+        hidden_last is the hidden state at position true_len-1.
+        """
+        B, S, _ = embeds.shape
+        qpos = jnp.arange(S)
+        kpos = jnp.arange(self.cfg.max_cache_len)
+        causal = kpos[None, None, :] <= qpos[None, :, None]  # [1, S, K]
+        valid = kpos[None, None, :] < true_len[:, None, None]  # [B, 1, K]
+        bias = jnp.where(causal & valid, 0.0, -1e30).astype(jnp.float32)[:, None, :, :]
+        rc, rs = self._rope()
+        cos, sin = rc[:S], rs[:S]
+        x = embeds.astype(self.cfg.dtype)
+        new_cache = []
+        for i, layer in enumerate(self.layers):
+            x, layer_cache = layer(x, cos, sin, bias, 0, (cache[0][i], cache[1][i]))
+            new_cache.append(layer_cache)
+        x = self.norm(x)
+        idx = jnp.clip(true_len - 1, 0)
+        hidden_last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+        k_stack = jnp.stack([kc for kc, _ in new_cache])
+        v_stack = jnp.stack([vc for _, vc in new_cache])
+        return hidden_last, (k_stack, v_stack)
+
+    def decode_step(self, emb, cur_len, cache):
+        """One-token step. emb: [B, 1, C]; cur_len: [B] current sequence
+        lengths (kv write position). Returns (hidden [B, C], cache)."""
+        B = emb.shape[0]
+        c = self.cfg
+        # rope for position cur_len (assume uniform batch position offsets)
+        rc, rs = self._rope()
+        cos = jax.lax.dynamic_slice_in_dim(rc, cur_len[0], 1, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(rs, cur_len[0], 1, axis=0)
+        key_pos = jnp.arange(c.max_cache_len)
+        valid = key_pos[None, :] <= cur_len[:, None]  # keys 0..cur_len inclusive (self)
+        bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+        x = emb.astype(c.dtype)
+        new_cache = []
+        for i, layer in enumerate(self.layers):
+            x, layer_cache = layer(x, cos, sin, bias, cur_len[0], (cache[0][i], cache[1][i]))
+            new_cache.append(layer_cache)
+        x = self.norm(x)
+        k_stack = jnp.stack([kc for kc, _ in new_cache])
+        v_stack = jnp.stack([vc for _, vc in new_cache])
+        return x[:, 0], (k_stack, v_stack)
+
+    def init_cache(self, batch: int, dtype=None):
+        c = self.cfg
+        dtype = dtype or c.dtype
+        shape = (c.num_layers, batch, c.max_cache_len, c.num_kv_heads, c.head_dim)
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

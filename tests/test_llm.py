@@ -1,0 +1,97 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, TYPE_SPEECH, TYPE_SPECIAL, TYPE_TEXT
+from cosyvoice_tpu.models.qwen2 import Qwen2Config
+
+K = jax.random.PRNGKey
+
+
+@pytest.fixture(scope="module")
+def lm():
+    cfg = LMConfig(
+        speech_token_size=20,
+        qwen=Qwen2Config(
+            hidden_size=32,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            head_dim=8,
+            intermediate_size=64,
+            vocab_size=100,
+            max_cache_len=128,
+            dtype=jnp.float32,
+        ),
+    )
+    model = Qwen2LM(cfg)
+    params = model.init(K(0))
+    return model, params
+
+
+class TestQwen2LM:
+    def test_prefill_decode_matches_full_forward(self, lm):
+        """KV-cache decode must reproduce teacher-forced logits exactly."""
+        model, params = lm
+        rng = np.random.default_rng(0)
+        T = 12
+        ids = rng.integers(0, 20, (1, T)).astype(np.int32)
+        types = np.full((1, T), TYPE_SPEECH, np.int32)
+        full_logits = model.module.apply(
+            params, jnp.asarray(ids), jnp.asarray(types), jnp.asarray([T]), method="forward_logits"
+        )
+
+        P = 5
+        cache = model.init_cache(1)
+        logits, cache = model.module.apply(
+            params, jnp.asarray(ids[:, :P]), jnp.asarray(types[:, :P]), jnp.asarray([P]), cache, method="prefill"
+        )
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(full_logits[:, P - 1]), atol=2e-4)
+
+        cur = jnp.asarray([P])
+        for t in range(P, T):
+            logits, cache = model.module.apply(
+                params, jnp.asarray(ids[:, t]), cur, cache, method="decode_step"
+            )
+            np.testing.assert_allclose(np.asarray(logits), np.asarray(full_logits[:, t]), atol=2e-4)
+            cur = cur + 1
+
+    def test_prefill_pad_invariance(self, lm):
+        model, params = lm
+        rng = np.random.default_rng(1)
+        T = 7
+        ids = rng.integers(0, 20, (1, T)).astype(np.int32)
+        types = np.full((1, T), TYPE_SPEECH, np.int32)
+
+        c1 = model.init_cache(1)
+        l1, _ = model.module.apply(params, jnp.asarray(ids), jnp.asarray(types), jnp.asarray([T]), c1, method="prefill")
+
+        padded = np.zeros((1, 16), np.int32)
+        padded[:, :T] = ids
+        ptypes = np.full((1, 16), TYPE_SPEECH, np.int32)
+        c2 = model.init_cache(1)
+        l2, _ = model.module.apply(params, jnp.asarray(padded), jnp.asarray(ptypes), jnp.asarray([T]), c2, method="prefill")
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-4)
+
+    def test_mixed_embedding_selects_tables(self, lm):
+        model, params = lm
+        ids = jnp.asarray([[0, 5, 1, 3]], jnp.int32)
+        types = jnp.asarray([[TYPE_SPECIAL, TYPE_TEXT, TYPE_SPECIAL, TYPE_SPEECH]], jnp.int32)
+        emb = model.module.apply(params, ids, types, method="embed_input")
+        p = params["params"]
+        np.testing.assert_allclose(np.asarray(emb[0, 0]), np.asarray(p["llm_embedding"]["embedding"][0]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(emb[0, 1]), np.asarray(p["llm"]["embed_tokens"]["embedding"][5]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(emb[0, 3]), np.asarray(p["speech_embedding"]["embedding"][3]), atol=1e-6)
+
+    def test_generate_yields_valid_tokens(self, lm):
+        model, params = lm
+        prompt_ids = np.asarray([0, 3, 7, 1, 2, 4], np.int32)  # sos, text, text, task, speech...
+        prompt_types = np.asarray(
+            [TYPE_SPECIAL, TYPE_TEXT, TYPE_TEXT, TYPE_SPECIAL, TYPE_SPEECH, TYPE_SPEECH], np.int32
+        )
+        out = []
+        for block in model.generate(params, prompt_ids, prompt_types, K(3), min_len=4, max_len=12, block_size=6):
+            out.extend(block.tolist())
+        assert 0 < len(out) <= 12
+        assert all(0 <= t < 20 for t in out)
