@@ -80,24 +80,21 @@ class FlowEncoder(nn.Module):
         self,
         token: jax.Array,
         token_len: jax.Array,
+        context_token: Optional[jax.Array] = None,
         streaming: bool = False,
-        finalize: bool = True,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
-        """token: [B, L] int32 (last pre_lookahead_len entries are the
-        lookahead context when finalize=False). Returns (mu [B, L*r, 80],
-        mel pad mask [B, L*r])."""
-        c = self.cfg
+        """token: [B, L] int32 body tokens (tail-padded ok, true length in
+        token_len). context_token: [B, pre_lookahead_len] future tokens when
+        not finalizing (None => zero-padded lookahead, i.e. finalize).
+        Returns (mu [B, L*r, 80], mel pad mask [B, L*r])."""
         L = token.shape[1]
         mask = make_non_pad_mask(token_len, L)
         emb = self.input_embedding(jnp.clip(token, 0)) * mask[..., None]
-        if finalize:
-            h, mel_mask = self.encoder(emb, token_len, context=None, streaming=streaming, deterministic=deterministic)
-        else:
-            la = c.pre_lookahead_len
-            h, mel_mask = self.encoder(
-                emb[:, :-la], token_len - la, context=emb[:, -la:], streaming=streaming, deterministic=deterministic
-            )
+        context = None
+        if context_token is not None:
+            context = self.input_embedding(jnp.clip(context_token, 0))
+        h, mel_mask = self.encoder(emb, token_len, context=context, streaming=streaming, deterministic=deterministic)
         return self.encoder_proj(h), mel_mask
 
 
@@ -139,21 +136,22 @@ class CausalFlow:
         token_len: jax.Array,
         conds: jax.Array,
         embedding: jax.Array,
+        context_token: Optional[jax.Array] = None,
         streaming: bool = False,
-        finalize: bool = True,
         temperature: float = 1.0,
     ) -> jax.Array:
-        """token: [1, L] prompt+generated tokens (tail-padded ok; true length
-        in token_len; includes lookahead tail when finalize=False).
-        conds: [1, L*r, 80] prompt mel at the front, zeros elsewhere.
+        """token: [1, L] prompt+generated BODY tokens, zero tail-padded with
+        true length in token_len (ensure L >= token_len + lookahead when
+        passing context). context_token: [1, pre_lookahead_len] future tokens
+        when not finalizing. conds: [1, L*r, 80] prompt mel at the front.
         embedding: [1, 192] raw x-vector.
 
-        Returns mel [1, L*r, 80] (mel frames beyond 2*token_len are zeros);
-        the engine slices out [prompt_mel_len : 2*token_len).
+        Returns mel [1, L*r, 80] (frames beyond r*token_len are zeros);
+        the engine slices out [prompt_mel_len : r*token_len).
         """
         c = self.cfg
         mu, mel_mask = self.encoder.apply(
-            params["encoder"], token, token_len, streaming=streaming, finalize=finalize
+            params["encoder"], token, token_len, context_token, streaming=streaming
         )
         spks = self.encoder.apply(params["encoder"], embedding, method="project_spk")
         T = mu.shape[1]
@@ -193,7 +191,7 @@ class CausalFlow:
         `cond_drop_rng`.
         """
         k_cond, k_cfm = jax.random.split(rng)
-        mu, mel_mask = self.encoder.apply(params["encoder"], token, token_len, streaming=streaming, finalize=True)
+        mu, mel_mask = self.encoder.apply(params["encoder"], token, token_len, streaming=streaming)
         spks = self.encoder.apply(params["encoder"], embedding, method="project_spk")
 
         B, Tmel, _ = feat.shape

@@ -247,18 +247,28 @@ class UpsampleConformerEncoder(nn.Module):
         self.after_norm = nn.LayerNorm(epsilon=1e-5)
 
     def __call__(self, xs, xs_lens, context=None, streaming=False, deterministic=True):
-        """xs: [B, T, C]; context: [B, pre_lookahead_len, C] raw embeddings or None.
+        """xs: [B, T, C] raw token embeddings, tail-padded with ZEROS beyond
+        xs_lens; context: [B, pre_lookahead_len, C] raw embeddings of the
+        lookahead tokens or None (finalize). The context is scattered into the
+        padded buffer at position xs_lens so the pre-lookahead conv sees it at
+        the true boundary (requires T >= xs_lens + pre_lookahead_len).
 
         Returns ([B, 2T, C], up-sampled pad mask [B, 2T]).
         """
         T = xs.shape[1]
         pad_mask = make_non_pad_mask(xs_lens, T)
+        valid_len = xs_lens
+        if context is not None:
+            # assumes uniform lengths across the (typically size-1) batch
+            xs = jax.lax.dynamic_update_slice(xs, context.astype(xs.dtype), (0, xs_lens[0], 0))
+            valid_len = xs_lens + context.shape[1]
         xs = self.embed(xs, deterministic)
         xs, pos_emb = self.pos_enc(xs)
-        if context is not None:
-            context = self.embed(context, deterministic) * self.pos_enc.xscale
+        # zero post-embed features beyond the valid(+context) region so the
+        # lookahead conv sees the reference's zero padding at the boundary
+        xs = xs * make_non_pad_mask(valid_len, T)[..., None]
         att_mask = add_optional_chunk_mask(pad_mask[:, None, :], self.static_chunk_size if streaming else 0)
-        xs = self.pre_lookahead_layer(xs, context=context)
+        xs = self.pre_lookahead_layer(xs, context=None)
         for layer in self.encoders:
             xs = layer(xs, att_mask, pos_emb, pad_mask, deterministic)
 

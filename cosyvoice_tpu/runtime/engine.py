@@ -1,0 +1,287 @@
+"""Streaming TTS engine: LM token blocks -> chunked flow -> HiFT chunks.
+
+TPU re-design of the reference engine (cosyvoice/cli/model.py:245-394,
+CosyVoice2Model):
+
+- same chunk semantics: token_hop_len=25 (== flow static_chunk_size), hop
+  doubling to 100, 3-token pre-lookahead gate, prompt padded to a hop
+  multiple, flow re-run on the full prefix with the new mel sliced off at
+  token_offset*2, HiFT mel/source caches + hamming cross-fade.
+- instead of a producer thread + 0.1 s polls, the LM decodes in device-side
+  BLOCKS sized to exactly what the next chunk needs, so the pipeline is a
+  deterministic interleave with one host sync per block.
+- every device call is shape-bucketed: token prefixes pad to multiples of
+  `token_bucket`, vocoder mel pads (with log-silence) to `mel_bucket`, so the
+  number of distinct XLA programs is bounded for any utterance length.
+"""
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Generator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.models.flow import CausalFlow
+from cosyvoice_tpu.models.hift import HiFTGenerator
+from cosyvoice_tpu.models.llm import Qwen2LM, TYPE_SPECIAL, TYPE_SPEECH, TYPE_TEXT
+
+LOG_SILENCE = -11.512925  # ln(1e-5): matcha mel floor, used for mel padding
+
+
+@dataclass
+class SessionState:
+    """Per-utterance streaming caches (reference hift_cache_dict)."""
+
+    hift_mel_cache: Optional[np.ndarray] = None  # [1, 8, 80]
+    hift_source_cache: Optional[np.ndarray] = None  # [1, 8*480]
+    hift_speech_cache: Optional[np.ndarray] = None  # [1, 8*480]
+
+
+def _bucket(n: int, b: int) -> int:
+    return ((n + b - 1) // b) * b
+
+
+class CosyVoice2Engine:
+    def __init__(
+        self,
+        lm: Qwen2LM,
+        flow: CausalFlow,
+        hift: HiFTGenerator,
+        lm_params,
+        flow_params,
+        hift_params,
+        token_hop_len: int = 25,
+        token_bucket: int = 64,
+        mel_bucket: int = 32,
+        seed: int = 1986,
+    ):
+        self.lm = lm
+        self.flow = flow
+        self.hift = hift
+        self.lm_params = lm_params
+        self.flow_params = flow_params
+        self.hift_params = hift_params
+        self.token_hop_len = token_hop_len
+        self.token_max_hop_len = 4 * token_hop_len
+        self.stream_scale_factor = 2
+        self.pre_lookahead_len = flow.cfg.pre_lookahead_len
+        self.token_mel_ratio = flow.cfg.token_mel_ratio
+        self.mel_cache_len = 8
+        self.source_cache_len = self.mel_cache_len * 480
+        self.speech_window = np.hamming(2 * self.source_cache_len)
+        self.token_bucket = token_bucket
+        self.mel_bucket = mel_bucket
+        self.seed = seed
+
+        self._jit_flow = jax.jit(
+            lambda p, tok, tl, conds, emb, ctx, streaming: self.flow.inference(
+                p, tok, tl, conds, emb, context_token=ctx, streaming=streaming
+            ),
+            static_argnames=("streaming",),
+        )
+        self._jit_hift = jax.jit(
+            lambda p, mel, rng, cache_source: self.hift.apply(
+                p, mel, rng, cache_source=cache_source, method="inference"
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    def _flow_chunk(
+        self,
+        all_tokens: np.ndarray,  # [L] prompt+generated tokens (with lookahead tail if not finalize)
+        prompt_feat: np.ndarray,  # [1, Lp_mel, 80]
+        embedding: np.ndarray,  # [1, 192]
+        streaming: bool,
+        finalize: bool,
+    ) -> np.ndarray:
+        """Run flow on the full prefix; returns mel [1, body_len*r, 80] where
+        body_len = L - (0 if finalize else lookahead)."""
+        L = len(all_tokens)
+        la = self.pre_lookahead_len
+        if finalize:
+            body, ctx = all_tokens, None
+        else:
+            body, ctx = all_tokens[:-la], jnp.asarray(all_tokens[None, -la:].astype(np.int32))
+        Lpad = _bucket(L, self.token_bucket)  # leaves >= la slack beyond body
+        tok = np.zeros((1, Lpad), np.int32)
+        tok[0, : len(body)] = body
+        conds = np.zeros((1, Lpad * self.token_mel_ratio, 80), np.float32)
+        conds[:, : prompt_feat.shape[1]] = prompt_feat
+        mel = self._jit_flow(
+            self.flow_params,
+            jnp.asarray(tok),
+            jnp.asarray([len(body)]),
+            jnp.asarray(conds),
+            jnp.asarray(embedding),
+            ctx,
+            streaming,
+        )
+        return np.asarray(mel)[:, : len(body) * self.token_mel_ratio]
+
+    def _vocode(self, mel: np.ndarray, cache_source: np.ndarray, rng) -> tuple:
+        """mel: [1, T, 80] -> (wav [1, T*480], source [1, T*480]); buckets T."""
+        T = mel.shape[1]
+        Tpad = _bucket(T, self.mel_bucket)
+        mel_p = np.full((1, Tpad, 80), LOG_SILENCE, np.float32)
+        mel_p[:, :T] = mel
+        wav, src = self._jit_hift(self.hift_params, jnp.asarray(mel_p), rng, jnp.asarray(cache_source))
+        return np.asarray(wav)[:, : T * 480], np.asarray(src)[:, : T * 480]
+
+    # ------------------------------------------------------------------
+    def token2wav(
+        self,
+        state: SessionState,
+        tokens: np.ndarray,  # [L] generated speech tokens so far (incl lookahead when not finalize)
+        prompt_token: np.ndarray,  # [Lp]
+        prompt_feat: np.ndarray,  # [1, Lp*2, 80]
+        embedding: np.ndarray,  # [1, 192]
+        token_offset: int,
+        stream: bool = False,
+        finalize: bool = False,
+        speed: float = 1.0,
+    ) -> np.ndarray:
+        """Reference cli/model.py:292-326 semantics."""
+        all_tokens = np.concatenate([prompt_token, tokens])
+        mel = self._flow_chunk(all_tokens, prompt_feat, embedding, streaming=stream, finalize=finalize)
+        mel = mel[:, prompt_feat.shape[1] + token_offset * self.token_mel_ratio :]
+        if mel.shape[1] == 0 and state.hift_mel_cache is None:
+            return np.zeros((1, 0), np.float32)
+
+        if state.hift_mel_cache is not None:
+            mel = np.concatenate([state.hift_mel_cache, mel], axis=1)
+            cache_source = state.hift_source_cache
+        else:
+            cache_source = np.zeros((1, 0), np.float32)
+
+        rng = jax.random.PRNGKey(self.seed)
+        if not finalize:
+            wav, src = self._vocode(mel, cache_source, rng)
+            if state.hift_speech_cache is not None:
+                wav = self._fade(wav, state.hift_speech_cache)
+            state.hift_mel_cache = mel[:, -self.mel_cache_len :]
+            state.hift_source_cache = src[:, -self.source_cache_len :]
+            state.hift_speech_cache = wav[:, -self.source_cache_len :]
+            return wav[:, : -self.source_cache_len]
+        else:
+            if speed != 1.0:
+                assert state.hift_mel_cache is None, "speed change only supports non-stream mode"
+                from cosyvoice_tpu.ops.resample import interpolate_linear
+
+                mel = np.asarray(
+                    interpolate_linear(jnp.asarray(mel.transpose(0, 2, 1)), int(mel.shape[1] / speed))
+                ).transpose(0, 2, 1)
+            wav, _ = self._vocode(mel, cache_source, rng)
+            if state.hift_speech_cache is not None:
+                wav = self._fade(wav, state.hift_speech_cache)
+            return wav
+
+    def _fade(self, wav: np.ndarray, prev_tail: np.ndarray) -> np.ndarray:
+        n = self.source_cache_len
+        w = self.speech_window
+        out = wav.copy()
+        out[:, :n] = wav[:, :n] * w[n:] + prev_tail * w[:n]
+        return out
+
+    # ------------------------------------------------------------------
+    def tts(
+        self,
+        text_tokens: np.ndarray,  # [Lt] tts text tokens (Qwen ids)
+        prompt_text_tokens: np.ndarray,  # [Lpt]
+        llm_prompt_speech_token: np.ndarray,  # [Lps]
+        flow_prompt_speech_token: np.ndarray,  # [Lps]
+        prompt_speech_feat: np.ndarray,  # [1, Lp_mel, 80]
+        flow_embedding: np.ndarray,  # [1, 192]
+        stream: bool = False,
+        speed: float = 1.0,
+        source_speech_token: Optional[np.ndarray] = None,  # vc mode
+        rng_seed: Optional[int] = None,
+    ) -> Generator[dict, None, None]:
+        """Yields {'tts_speech': np.ndarray [1, n]} chunks."""
+        c = self.lm.cfg
+        state = SessionState()
+        la = self.pre_lookahead_len
+
+        if source_speech_token is None:
+            # LM prompt: [sos, prompt_text, text, task, prompt_speech]
+            text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
+            ids = np.concatenate(
+                [[c.sos_id], text, [c.task_id], llm_prompt_speech_token.astype(np.int32)]
+            ).astype(np.int32)
+            types = np.concatenate(
+                [
+                    [TYPE_SPECIAL],
+                    np.full(len(text), TYPE_TEXT),
+                    [TYPE_SPECIAL],
+                    np.full(len(llm_prompt_speech_token), TYPE_SPEECH),
+                ]
+            ).astype(np.int32)
+            min_len = int(len(text_tokens) * 2)
+            max_len = int(len(text_tokens) * 20)
+            rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
+            token_gen = self.lm.generate(self.lm_params, ids, types, rng, min_len, max_len)
+        else:
+            token_gen = iter([np.asarray(source_speech_token, np.int32)])
+
+        produced: list = []
+
+        if not stream:
+            for block in token_gen:
+                produced.extend(block.tolist())
+            wav = self.token2wav(
+                state,
+                np.asarray(produced, np.int32),
+                flow_prompt_speech_token.astype(np.int32),
+                prompt_speech_feat,
+                flow_embedding,
+                token_offset=0,
+                stream=False,
+                finalize=True,
+                speed=speed,
+            )
+            yield {"tts_speech": wav}
+            return
+
+        # ---- streaming ----
+        token_offset = 0
+        hop = self.token_hop_len
+        prompt_pad = int(np.ceil(len(flow_prompt_speech_token) / hop) * hop - len(flow_prompt_speech_token))
+        gen_done = False
+        while True:
+            this_hop = hop + prompt_pad if token_offset == 0 else hop
+            # pull LM blocks until we can emit the next chunk (or LM ends)
+            while not gen_done and len(produced) - token_offset < this_hop + la:
+                try:
+                    produced.extend(next(token_gen).tolist())
+                except StopIteration:
+                    gen_done = True
+            if len(produced) - token_offset >= this_hop + la:
+                chunk_tokens = np.asarray(produced[: token_offset + this_hop + la], np.int32)
+                wav = self.token2wav(
+                    state,
+                    chunk_tokens,
+                    flow_prompt_speech_token.astype(np.int32),
+                    prompt_speech_feat,
+                    flow_embedding,
+                    token_offset=token_offset,
+                    stream=True,
+                    finalize=False,
+                )
+                token_offset += this_hop
+                hop = min(self.token_max_hop_len, hop * self.stream_scale_factor)
+                yield {"tts_speech": wav}
+            if gen_done and len(produced) - token_offset < this_hop + la:
+                break
+        wav = self.token2wav(
+            state,
+            np.asarray(produced, np.int32),
+            flow_prompt_speech_token.astype(np.int32),
+            prompt_speech_feat,
+            flow_embedding,
+            token_offset=token_offset,
+            stream=True,
+            finalize=True,
+        )
+        yield {"tts_speech": wav}

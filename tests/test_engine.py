@@ -1,0 +1,115 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
+from cosyvoice_tpu.models.flow_decoder import EstimatorConfig
+from cosyvoice_tpu.models.flow_matching import CFMConfig
+from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+from cosyvoice_tpu.models.qwen2 import Qwen2Config
+from cosyvoice_tpu.runtime.engine import CosyVoice2Engine
+
+K = jax.random.PRNGKey
+CHUNK = 5
+
+
+@pytest.fixture(scope="module")
+def engine():
+    lm = Qwen2LM(
+        LMConfig(
+            speech_token_size=20,
+            block_size=CHUNK + 3,
+            qwen=Qwen2Config(
+                hidden_size=32,
+                num_layers=2,
+                num_heads=4,
+                num_kv_heads=2,
+                head_dim=8,
+                intermediate_size=64,
+                vocab_size=100,
+                max_cache_len=256,
+                dtype=jnp.float32,
+            ),
+        )
+    )
+    flow = CausalFlow(
+        FlowConfig(
+            input_size=32,
+            vocab_size=50,
+            chunk_size=CHUNK,
+            attention_heads=2,
+            linear_units=64,
+            num_blocks=1,
+            num_up_blocks=1,
+            estimator=EstimatorConfig(
+                channels=(32,), attention_head_dim=8, n_blocks=1, num_mid_blocks=1, num_heads=2,
+                static_chunk_size=CHUNK * 2, causal=True,
+            ),
+            cfm=CFMConfig(n_timesteps=2),
+        )
+    )
+    hift = HiFTGenerator(
+        HiFTConfig(
+            base_channels=32,
+            resblock_kernel_sizes=(3,),
+            resblock_dilations=((1,),),
+            source_resblock_kernel_sizes=(7, 7, 11),
+            source_resblock_dilations=((1,), (1,), (1,)),
+        )
+    )
+    lm_params = lm.init(K(0))
+    flow_params = flow.init(K(1))
+    mel0 = jnp.zeros((1, 8, 80))
+    hift_params = hift.init(K(2), mel0, K(3))
+    eng = CosyVoice2Engine(
+        lm, flow, hift, lm_params, flow_params, hift_params, token_hop_len=CHUNK, token_bucket=16, mel_bucket=8
+    )
+    return eng
+
+
+def prompt_inputs(rng):
+    return dict(
+        text_tokens=rng.integers(0, 100, 6).astype(np.int32),
+        prompt_text_tokens=rng.integers(0, 100, 3).astype(np.int32),
+        llm_prompt_speech_token=rng.integers(0, 20, 4).astype(np.int32),
+        flow_prompt_speech_token=rng.integers(0, 20, 4).astype(np.int32),
+        prompt_speech_feat=rng.random((1, 8, 80)).astype(np.float32),
+        flow_embedding=rng.standard_normal((1, 192)).astype(np.float32),
+    )
+
+
+class TestEngine:
+    def test_offline_tts(self, engine):
+        rng = np.random.default_rng(0)
+        out = list(engine.tts(**prompt_inputs(rng), stream=False, rng_seed=7))
+        assert len(out) == 1
+        wav = out[0]["tts_speech"]
+        assert wav.shape[0] == 1 and wav.shape[1] % 480 == 0 and wav.shape[1] > 0
+        assert np.isfinite(wav).all()
+
+    def test_streaming_matches_offline_duration(self, engine):
+        rng = np.random.default_rng(0)
+        inputs = prompt_inputs(rng)
+        off = list(engine.tts(**inputs, stream=False, rng_seed=7))[0]["tts_speech"]
+        chunks = [o["tts_speech"] for o in engine.tts(**inputs, stream=True, rng_seed=7)]
+        stream_wav = np.concatenate(chunks, axis=1)
+        assert stream_wav.shape == off.shape  # same tokens -> same total duration
+        assert len(chunks) >= 2
+
+    def test_vc_mode(self, engine):
+        rng = np.random.default_rng(1)
+        inputs = prompt_inputs(rng)
+        src = rng.integers(0, 20, 12).astype(np.int32)
+        out = list(engine.tts(**inputs, stream=False, source_speech_token=src))
+        wav = out[0]["tts_speech"]
+        assert wav.shape[1] == 12 * 2 * 480
+
+    def test_speed_control(self, engine):
+        rng = np.random.default_rng(2)
+        inputs = prompt_inputs(rng)
+        src = rng.integers(0, 20, 10).astype(np.int32)
+        normal = list(engine.tts(**inputs, source_speech_token=src))[0]["tts_speech"]
+        fast = list(engine.tts(**inputs, source_speech_token=src, speed=2.0))[0]["tts_speech"]
+        assert abs(fast.shape[1] - normal.shape[1] / 2) <= 480

@@ -66,13 +66,24 @@ class TestCausalFlow:
 
         def run(tok_np, finalize):
             full_tok = np.concatenate([prompt_token, tok_np], axis=1)
-            t = jnp.asarray(full_tok, jnp.int32)
-            mel_tokens = full_tok.shape[1] - (0 if finalize else ctx)
-            conds = make_conds(prompt_feat, mel_tokens)
+            if finalize:
+                body, context = full_tok, None
+                pad = ctx  # keep array shape T >= len+ctx like the engine would
+            else:
+                body, context = full_tok[:, :-ctx], jnp.asarray(full_tok[:, -ctx:], jnp.int32)
+                pad = 2 * ctx
+            body_p = np.concatenate([body, np.zeros((1, pad), body.dtype)], axis=1)
+            conds = make_conds(prompt_feat, body_p.shape[1])
             mel = model.inference(
-                params, t, jnp.asarray([full_tok.shape[1]]), conds, emb, streaming=True, finalize=finalize
+                params,
+                jnp.asarray(body_p, jnp.int32),
+                jnp.asarray([body.shape[1]]),
+                conds,
+                emb,
+                context_token=context,
+                streaming=True,
             )
-            return np.asarray(mel)[:, prompt_feat.shape[1]:]
+            return np.asarray(mel)[:, prompt_feat.shape[1] : body.shape[1] * 2]
 
         gt = run(token, True)
         for i in range(0, max_len, CHUNK):
