@@ -1,0 +1,155 @@
+"""Benchmark: CosyVoice2-0.5B-class offline synthesis RTF on one TPU chip.
+
+Measures the full token->wav pipeline (LM block decode + flow 10-step CFM +
+HiFT vocoder) at production shapes with randomly initialized weights (weights
+don't change FLOPs/latency). Prints ONE JSON line:
+
+  {"metric": "offline_rtf", "value": <rtf>, "unit": "ratio",
+   "vs_baseline": <baseline_rtf / rtf>, ...extras}
+
+Baseline: reference CosyVoice2 offline RTF 0.0891 @ conc=1 on 1x L20 with
+Triton+TRT-LLM (BASELINE.md). vs_baseline > 1 means faster than baseline.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
+    from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+    from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, TYPE_SPECIAL, TYPE_SPEECH, TYPE_TEXT
+    from cosyvoice_tpu.runtime.engine import CosyVoice2Engine
+
+    K = jax.random.PRNGKey
+    rng = np.random.default_rng(0)
+
+    n_tokens = 125  # 5 s of audio at 25 Hz
+    audio_seconds = n_tokens / 25.0
+
+    lm = Qwen2LM(LMConfig(block_size=125))
+    flow = CausalFlow(FlowConfig())
+    hift = HiFTGenerator(HiFTConfig())
+
+    t0 = time.time()
+    lm_params = lm.init(K(0))
+    flow_params = flow.init(K(1))
+    hift_params = hift.init(K(2), jnp.zeros((1, 8, 80)), K(3))
+    init_s = time.time() - t0
+
+    engine = CosyVoice2Engine(lm, flow, hift, lm_params, flow_params, hift_params)
+
+    # ---- offline path, decomposed for timing ----
+    text_len = 30
+    prompt_speech_tokens = rng.integers(0, 6561, 50).astype(np.int32)
+    prompt_feat = (rng.random((1, 100, 80)).astype(np.float32) * 2 - 12).astype(np.float32)
+    embedding = rng.standard_normal((1, 192)).astype(np.float32)
+    text = rng.integers(0, 150000, text_len).astype(np.int32)
+
+    c = lm.cfg
+    ids = np.concatenate([[c.sos_id], text, [c.task_id], prompt_speech_tokens]).astype(np.int32)
+    types = np.concatenate(
+        [[TYPE_SPECIAL], np.full(text_len, TYPE_TEXT), [TYPE_SPECIAL], np.full(50, TYPE_SPEECH)]
+    ).astype(np.int32)
+
+    def run_lm():
+        toks = []
+        # min_len == max_len == n_tokens forces a fixed decode length so the
+        # random-weight model exercises the full production trajectory
+        for block in lm.generate(lm_params, ids, types, K(7), n_tokens, n_tokens, block_size=125):
+            toks.extend(block.tolist())
+        while len(toks) < n_tokens:  # random weights may emit non-eos stops
+            toks.append(0)
+        return np.asarray(toks[:n_tokens], np.int32)
+
+    def run_t2w(tokens):
+        from cosyvoice_tpu.runtime.engine import SessionState
+
+        return engine.token2wav(
+            SessionState(), tokens, prompt_speech_tokens, prompt_feat, embedding,
+            token_offset=0, stream=False, finalize=True,
+        )
+
+    # warmup (compile)
+    t0 = time.time()
+    tokens = run_lm()
+    wav = run_t2w(tokens)
+    compile_s = time.time() - t0
+
+    # timed runs
+    n_runs = 3
+    lm_times, t2w_times = [], []
+    for _ in range(n_runs):
+        t0 = time.time()
+        tokens = run_lm()
+        lm_times.append(time.time() - t0)
+        t0 = time.time()
+        wav = run_t2w(tokens)
+        t2w_times.append(time.time() - t0)
+
+    lm_s = float(np.median(lm_times))
+    t2w_s = float(np.median(t2w_times))
+    total_s = lm_s + t2w_s
+    rtf = total_s / audio_seconds
+    baseline = 0.0891
+
+    # ---- streaming first-chunk latency ----
+    first_chunk_ms = None
+    try:
+        gen = engine.tts(
+            text_tokens=text,
+            prompt_text_tokens=np.zeros(0, np.int32),
+            llm_prompt_speech_token=prompt_speech_tokens,
+            flow_prompt_speech_token=prompt_speech_tokens,
+            prompt_speech_feat=prompt_feat,
+            flow_embedding=embedding,
+            stream=True,
+            rng_seed=7,
+        )
+        next(gen)  # warmup compile of streaming shapes
+        for _ in gen:
+            pass
+        t0 = time.time()
+        gen = engine.tts(
+            text_tokens=text,
+            prompt_text_tokens=np.zeros(0, np.int32),
+            llm_prompt_speech_token=prompt_speech_tokens,
+            flow_prompt_speech_token=prompt_speech_tokens,
+            prompt_speech_feat=prompt_feat,
+            flow_embedding=embedding,
+            stream=True,
+            rng_seed=7,
+        )
+        next(gen)
+        first_chunk_ms = (time.time() - t0) * 1000.0
+        for _ in gen:
+            pass
+    except Exception as e:  # streaming bench is best-effort
+        first_chunk_ms = -1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "offline_rtf",
+                "value": round(rtf, 4),
+                "unit": "ratio",
+                "vs_baseline": round(baseline / rtf, 4),
+                "lm_s": round(lm_s, 3),
+                "token2wav_s": round(t2w_s, 3),
+                "audio_s": audio_seconds,
+                "first_chunk_ms": round(first_chunk_ms, 1) if first_chunk_ms else None,
+                "compile_s": round(compile_s, 1),
+                "init_s": round(init_s, 1),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

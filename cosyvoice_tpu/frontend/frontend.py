@@ -1,0 +1,161 @@
+"""Inference frontend: text -> tokens, prompt wav -> (speech tokens, mel,
+x-vector), per-mode model_input assembly.
+
+Behavioral port of cosyvoice/cli/frontend.py:30-224 with the native ONNX
+sessions replaced by JAX modules (S3Tokenizer, CamPPEmbedding) and the
+feature extractors by the XLA ops in cosyvoice_tpu.ops.
+"""
+
+import os
+import pickle
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.frontend.text_normalize import basic_normalize
+from cosyvoice_tpu.frontend.tokenizer import get_tokenizer
+from cosyvoice_tpu.models.campplus import CamPPEmbedding
+from cosyvoice_tpu.models.speech_tokenizer import S3Tokenizer, S3TokenizerConfig
+from cosyvoice_tpu.ops.mel import kaldi_fbank, mel_spectrogram, whisper_log_mel
+from cosyvoice_tpu.utils.audio_io import load_wav
+
+
+class CosyVoiceFrontEnd:
+    def __init__(
+        self,
+        tokenizer=None,
+        token_path: Optional[str] = None,
+        sample_rate: int = 24000,
+        token_frame_rate: int = 25,
+        spk2info_path: str = "",
+        tokenizer_params=None,
+        campplus_params=None,
+        rng_seed: int = 0,
+        version: int = 2,
+    ):
+        self.tokenizer = tokenizer or get_tokenizer(token_path, version=version)
+        self.sample_rate = sample_rate
+        self.token_frame_rate = token_frame_rate
+        self.speech_tokenizer = S3Tokenizer(S3TokenizerConfig())
+        self.campplus = CamPPEmbedding()
+        k1, k2 = jax.random.split(jax.random.PRNGKey(rng_seed))
+        mel0 = jnp.zeros((1, 100, 128))
+        self.speech_tokenizer_params = tokenizer_params or self.speech_tokenizer.init(
+            k1, mel0, jnp.asarray([100])
+        )
+        self.campplus_params = campplus_params or self.campplus.init(k2, jnp.zeros((1, 100, 80)))
+        self.spk2info: Dict[str, dict] = {}
+        if spk2info_path and os.path.exists(spk2info_path):
+            with open(spk2info_path, "rb") as f:
+                self.spk2info = pickle.load(f)
+
+        self._jit_tokenize = jax.jit(
+            lambda p, mel, ml: self.speech_tokenizer.apply(p, mel, ml)
+        )
+        self._jit_spk = jax.jit(lambda p, f: self.campplus.apply(p, f))
+
+    # ---------------- extraction ----------------
+    def _extract_text_token(self, text: str) -> np.ndarray:
+        return np.asarray(self.tokenizer.encode(text, allowed_special="all"), np.int32)
+
+    def _extract_speech_token(self, speech_16k: np.ndarray) -> np.ndarray:
+        """speech_16k: [1, L] float32 @16 kHz -> [T_tok] int32 (25 Hz)."""
+        assert speech_16k.shape[1] / 16000 <= 30, "do not support audio longer than 30s"
+        mel = whisper_log_mel(jnp.asarray(speech_16k))  # [1, 128, T]
+        mel = jnp.swapaxes(mel, 1, 2)
+        tokens, tok_len = self._jit_tokenize(self.speech_tokenizer_params, mel, jnp.asarray([mel.shape[1]]))
+        return np.asarray(tokens[0, : int(tok_len[0])], np.int32)
+
+    def _extract_spk_embedding(self, speech_16k: np.ndarray) -> np.ndarray:
+        feat = kaldi_fbank(jnp.asarray(speech_16k[0]), cmn=True)
+        emb = self._jit_spk(self.campplus_params, feat[None])
+        return np.asarray(emb, np.float32)  # [1, 192]
+
+    def _extract_speech_feat(self, speech_24k: np.ndarray) -> np.ndarray:
+        mel = mel_spectrogram(jnp.asarray(speech_24k), sr=self.sample_rate)  # [1, 80, T]
+        return np.asarray(jnp.swapaxes(mel, 1, 2), np.float32)  # [1, T, 80]
+
+    # ---------------- text normalize ----------------
+    def text_normalize(self, text: str, split: bool = True):
+        if "<|" in text and "|>" in text:  # ssml passthrough
+            return [text] if split else text
+        return basic_normalize(text, self.tokenizer.encode, split=split)
+
+    # ---------------- per-mode assembly ----------------
+    def frontend_zero_shot(self, tts_text, prompt_text, prompt_wav, zero_shot_spk_id: str = ""):
+        """prompt_wav: path or [1, L] float array at 16 kHz (will be resampled
+        internally for the 24 kHz mel)."""
+        out = {"text_tokens": self._extract_text_token(tts_text)}
+        if zero_shot_spk_id and zero_shot_spk_id in self.spk2info:
+            out.update(self.spk2info[zero_shot_spk_id])
+            return out
+        speech_16k = load_wav(prompt_wav, 16000) if isinstance(prompt_wav, str) else prompt_wav
+        speech_24k = (
+            load_wav(prompt_wav, self.sample_rate)
+            if isinstance(prompt_wav, str)
+            else _resample(prompt_wav, 16000, self.sample_rate)
+        )
+        speech_feat = self._extract_speech_feat(speech_24k)
+        speech_token = self._extract_speech_token(speech_16k)
+        if self.sample_rate == 24000:
+            # force feat len == 2 * token len (frontend.py:174-178)
+            token_len = min(speech_feat.shape[1] // 2, len(speech_token))
+            speech_feat = speech_feat[:, : 2 * token_len]
+            speech_token = speech_token[:token_len]
+        out.update(
+            prompt_text_tokens=self._extract_text_token(prompt_text),
+            llm_prompt_speech_token=speech_token,
+            flow_prompt_speech_token=speech_token,
+            prompt_speech_feat=speech_feat,
+            flow_embedding=self._extract_spk_embedding(speech_16k),
+        )
+        return out
+
+    def frontend_cross_lingual(self, tts_text, prompt_wav, zero_shot_spk_id: str = ""):
+        out = self.frontend_zero_shot(tts_text, "", prompt_wav, zero_shot_spk_id)
+        # cross-lingual: no text/speech prompt in the LM (frontend.py:191-198)
+        out["prompt_text_tokens"] = np.zeros(0, np.int32)
+        out["llm_prompt_speech_token"] = np.zeros(0, np.int32)
+        return out
+
+    def frontend_instruct2(self, tts_text, instruct_text, prompt_wav, zero_shot_spk_id: str = ""):
+        out = self.frontend_zero_shot(tts_text, instruct_text + "<|endofprompt|>", prompt_wav, zero_shot_spk_id)
+        out["llm_prompt_speech_token"] = np.zeros(0, np.int32)
+        return out
+
+    def frontend_vc(self, source_speech_16k, prompt_wav):
+        speech_16k = load_wav(prompt_wav, 16000) if isinstance(prompt_wav, str) else prompt_wav
+        speech_24k = (
+            load_wav(prompt_wav, self.sample_rate)
+            if isinstance(prompt_wav, str)
+            else _resample(prompt_wav, 16000, self.sample_rate)
+        )
+        src = load_wav(source_speech_16k, 16000) if isinstance(source_speech_16k, str) else source_speech_16k
+        return dict(
+            source_speech_token=self._extract_speech_token(src),
+            flow_prompt_speech_token=self._extract_speech_token(speech_16k),
+            prompt_speech_feat=self._extract_speech_feat(speech_24k),
+            flow_embedding=self._extract_spk_embedding(speech_16k),
+        )
+
+    # ---------------- speaker cache ----------------
+    def add_zero_shot_spk(self, prompt_text, prompt_wav, spk_id: str) -> bool:
+        info = self.frontend_zero_shot("", prompt_text, prompt_wav, "")
+        info.pop("text_tokens")
+        self.spk2info[spk_id] = info
+        return True
+
+    def save_spkinfo(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(self.spk2info, f)
+
+
+def _resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    from fractions import Fraction
+
+    from scipy.signal import resample_poly
+
+    frac = Fraction(target_sr, sr).limit_denominator(1000)
+    return resample_poly(x[0], frac.numerator, frac.denominator).astype(np.float32)[None]

@@ -1,0 +1,113 @@
+"""Mesh + sharding rules (GSPMD/pjit) for training and serving.
+
+The reference scales with DDP + DeepSpeed ZeRO-2 over NCCL
+(cosyvoice/bin/train.py:58-62, utils/train_utils.py:94-108). The TPU-native
+equivalent is a single jax.sharding.Mesh with:
+
+- 'dp'  : data parallel (batch axis)
+- 'tp'  : tensor parallel (attention heads / MLP hidden / vocab) — megatron
+          style column->row sharding so each block needs one psum, inserted
+          automatically by XLA from the param/activation shardings.
+
+Optimizer state inherits the param sharding; adding a 'dp'-sharded fsdp
+variant (ZeRO-3 analog) is a spec change, not a code change.
+"""
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if tp is None:
+        tp = 1 if n == 1 else (2 if n % 2 == 0 else 1)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    return Mesh(np.asarray(devices).reshape(dp, tp), ("dp", "tp"))
+
+
+# param-path regex -> PartitionSpec for Dense kernels [in, out] / embeds [V, D]
+_LM_RULES = [
+    (r"embed_tokens.*embedding", P("tp", None)),
+    (r"speech_embedding.*embedding", P("tp", None)),
+    (r"(q_proj|k_proj|v_proj|gate_proj|up_proj).*kernel", P(None, "tp")),
+    (r"(o_proj|down_proj).*kernel", P("tp", None)),
+    (r"llm_decoder.*kernel", P(None, "tp")),
+    (r"(q_proj|k_proj|v_proj|gate_proj|up_proj).*bias", P("tp")),
+    (r"llm_decoder.*bias", P("tp")),
+]
+
+
+def lm_param_spec(path: str, leaf, mesh: Optional[Mesh] = None) -> P:
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape)) if mesh is not None else {}
+
+    def fits(spec: P) -> bool:
+        for dim, ax in enumerate(spec):
+            if ax is not None and leaf.shape[dim] % axis_sizes.get(ax, 1) != 0:
+                return False
+        return True
+
+    for pat, spec in _LM_RULES:
+        if re.search(pat, path) and len(spec) <= leaf.ndim and fits(spec):
+            return spec
+    return P()  # replicated
+
+
+def _flatten_path(path) -> str:
+    return "/".join(getattr(k, "key", str(k)) for k in path)
+
+
+def param_specs(params, rule=lm_param_spec, mesh: Optional[Mesh] = None):
+    return jax.tree_util.tree_map_with_path(lambda p, x: rule(_flatten_path(p), x, mesh), params)
+
+
+def named_sharding(mesh: Mesh, spec_tree):
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), spec_tree, is_leaf=lambda x: isinstance(x, P)
+    )
+
+
+def shard_params(mesh: Mesh, params, rule=lm_param_spec):
+    """Place a param pytree onto the mesh according to the rules."""
+    specs = param_specs(params, rule, mesh)
+    return jax.device_put(params, named_sharding(mesh, specs))
+
+
+def batch_spec() -> P:
+    return P("dp")
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Shard every array leaf's leading batch axis over 'dp'. Leaves with an
+    extra leading microbatch (accum) axis shard axis 1 instead."""
+
+    def place(x):
+        if x.ndim == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        spec = [None] * x.ndim
+        spec[0] = "dp"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def shard_accum_batch(mesh: Mesh, batch):
+    """Like shard_batch but axis 0 is the grad-accum axis: shard axis 1."""
+
+    def place(x):
+        spec = [None] * x.ndim
+        if x.ndim >= 2:
+            spec[1] = "dp"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))

@@ -1,0 +1,154 @@
+"""Public API — mirrors the reference CLI surface (cosyvoice/cli/cosyvoice.py).
+
+`CosyVoice2` exposes inference_zero_shot / inference_cross_lingual /
+inference_instruct2 / inference_vc generators yielding
+{'tts_speech': np.ndarray [1, n]} chunks with per-yield RTF logging, plus the
+zero-shot speaker cache (add_zero_shot_spk / save_spkinfo). `AutoModel` picks
+the model class from the files in the model dir (cosyvoice.py:228-238).
+
+Checkpoints are flax msgpack files (lm.msgpack / flow.msgpack / hift.msgpack)
+written by cosyvoice_tpu.train; absent files fall back to seeded random init
+so the full pipeline stays runnable for benchmarking.
+"""
+
+import json
+import logging
+import os
+import time
+from typing import Generator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
+from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+from cosyvoice_tpu.runtime.engine import CosyVoice2Engine
+
+
+def _load_msgpack(path, template):
+    import flax.serialization as ser
+
+    with open(path, "rb") as f:
+        return ser.from_bytes(template, f.read())
+
+
+def _save_msgpack(path, params):
+    import flax.serialization as ser
+
+    with open(path, "wb") as f:
+        f.write(ser.to_bytes(params))
+
+
+class CosyVoice2:
+    sample_rate = 24000
+
+    def __init__(self, model_dir: str = "", fp16: bool = False, seed: int = 1986):
+        self.model_dir = model_dir
+        lm_cfg, flow_cfg, hift_cfg = LMConfig(), FlowConfig(), HiFTConfig()
+        self.lm = Qwen2LM(lm_cfg)
+        self.flow = CausalFlow(flow_cfg)
+        self.hift = HiFTGenerator(hift_cfg)
+
+        k = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(k, 3)
+        lm_params = self.lm.init(k1)
+        flow_params = self.flow.init(k2)
+        hift_params = self.hift.init(k3, jnp.zeros((1, 8, 80)), k)
+        for name, template in (("lm", lm_params), ("flow", flow_params), ("hift", hift_params)):
+            path = os.path.join(model_dir, f"{name}.msgpack") if model_dir else ""
+            if path and os.path.exists(path):
+                template = _load_msgpack(path, template)
+                logging.info("loaded %s", path)
+            else:
+                logging.warning("no checkpoint for %s — using random init", name)
+            setattr(self, f"{name}_params", template)
+
+        self.frontend = CosyVoiceFrontEnd(
+            token_path=os.path.join(model_dir, "tokenizer") if model_dir else None,
+            sample_rate=self.sample_rate,
+            spk2info_path=os.path.join(model_dir, "spk2info.pkl") if model_dir else "",
+        )
+        self.engine = CosyVoice2Engine(
+            self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed
+        )
+
+    # ---------------- speaker cache ----------------
+    def list_available_spks(self):
+        return list(self.frontend.spk2info.keys())
+
+    def add_zero_shot_spk(self, prompt_text: str, prompt_wav, zero_shot_spk_id: str) -> bool:
+        assert zero_shot_spk_id != "", "do not use empty zero_shot_spk_id"
+        return self.frontend.add_zero_shot_spk(prompt_text, prompt_wav, zero_shot_spk_id)
+
+    def save_spkinfo(self):
+        self.frontend.save_spkinfo(os.path.join(self.model_dir or ".", "spk2info.pkl"))
+
+    # ---------------- inference modes ----------------
+    def _run(self, model_input: dict, stream: bool, speed: float, text_len_s: float):
+        start = time.time()
+        for out in self.engine.tts(
+            text_tokens=model_input.get("text_tokens", np.zeros(0, np.int32)),
+            prompt_text_tokens=model_input.get("prompt_text_tokens", np.zeros(0, np.int32)),
+            llm_prompt_speech_token=model_input.get("llm_prompt_speech_token", np.zeros(0, np.int32)),
+            flow_prompt_speech_token=model_input.get("flow_prompt_speech_token", np.zeros(0, np.int32)),
+            prompt_speech_feat=model_input.get("prompt_speech_feat", np.zeros((1, 0, 80), np.float32)),
+            flow_embedding=model_input.get("flow_embedding", np.zeros((1, 192), np.float32)),
+            stream=stream,
+            speed=speed,
+            source_speech_token=model_input.get("source_speech_token"),
+        ):
+            speech_len = out["tts_speech"].shape[1] / self.sample_rate
+            rtf = (time.time() - start) / max(speech_len, 1e-6)
+            logging.info("yield speech len %.2f, rtf %.3f", speech_len, rtf)
+            yield out
+            start = time.time()
+
+    def inference_zero_shot(
+        self, tts_text, prompt_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True
+    ):
+        prompt_texts = self.frontend.text_normalize(prompt_text, split=False) if text_frontend else prompt_text
+        for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+            if len(seg) < 0.5 * len(prompt_text):
+                logging.warning("synthesis text %s too short compared to prompt text %s", seg, prompt_text)
+            mi = self.frontend.frontend_zero_shot(seg, prompt_texts, prompt_wav, zero_shot_spk_id)
+            yield from self._run(mi, stream, speed, len(seg))
+
+    def inference_cross_lingual(self, tts_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True):
+        for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+            mi = self.frontend.frontend_cross_lingual(seg, prompt_wav, zero_shot_spk_id)
+            yield from self._run(mi, stream, speed, len(seg))
+
+    def inference_instruct2(
+        self, tts_text, instruct_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True
+    ):
+        for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+            mi = self.frontend.frontend_instruct2(seg, instruct_text, prompt_wav, zero_shot_spk_id)
+            yield from self._run(mi, stream, speed, len(seg))
+
+    def inference_vc(self, source_speech_16k, prompt_wav, stream=False, speed=1.0):
+        mi = self.frontend.frontend_vc(source_speech_16k, prompt_wav)
+        yield from self._run(mi, stream, speed, 0.0)
+
+    # ---------------- checkpoint save ----------------
+    def save_pretrained(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        _save_msgpack(os.path.join(out_dir, "lm.msgpack"), self.lm_params)
+        _save_msgpack(os.path.join(out_dir, "flow.msgpack"), self.flow_params)
+        _save_msgpack(os.path.join(out_dir, "hift.msgpack"), self.hift_params)
+
+
+class AutoModel:
+    """Pick the model class from the model dir contents (cosyvoice.py:228-238)."""
+
+    def __new__(cls, model_dir: str = "", **kwargs):
+        cfg_path = os.path.join(model_dir, "config.json") if model_dir else ""
+        version = 2
+        if cfg_path and os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                version = json.load(f).get("version", 2)
+        if version == 2:
+            return CosyVoice2(model_dir, **kwargs)
+        raise ValueError(f"unsupported model version {version} (v1/v3 engines land in the next round)")

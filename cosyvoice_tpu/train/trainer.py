@@ -1,0 +1,122 @@
+"""pjit training steps over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's DDP/DeepSpeed trainer
+(cosyvoice/bin/train.py, utils/train_utils.py, utils/executor.py):
+
+- one Mesh ('dp', 'tp'); batch sharded on dp; Megatron-style tp on the LM
+  (see cosyvoice_tpu/parallel/sharding.py) — XLA inserts psums/all-gathers
+- grad clip 5.0 + non-finite-grad skip (train_utils.py:305-315)
+- grad accumulation expressed as lax.scan over microbatches
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cosyvoice_tpu.parallel.sharding import lm_param_spec, named_sharding, param_specs
+from cosyvoice_tpu.train.losses import lm_ce_loss
+
+
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: tuple
+    step: jax.Array
+
+
+def make_optimizer(lr: float = 1e-4, warmup_steps: int = 2500, grad_clip: float = 5.0, scheduler: str = "warmuplr"):
+    if scheduler == "warmuplr":
+        # WarmupLR (utils/scheduler.py): lr * warmup^0.5 * min(step^-0.5, step*warmup^-1.5)
+        def sched(step):
+            s = jnp.maximum(step, 1).astype(jnp.float32)
+            return lr * warmup_steps**0.5 * jnp.minimum(s**-0.5, s * warmup_steps**-1.5)
+    elif scheduler == "constantlr":
+        def sched(step):
+            return lr
+    else:
+        raise ValueError(scheduler)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(lambda s: -sched(s)),
+    )
+
+
+def skip_nonfinite(updates, opt_state, old_opt_state, grads_finite):
+    """Skip the optimizer step when the grad norm is non-finite."""
+    updates = jax.tree_util.tree_map(lambda u: jnp.where(grads_finite, u, jnp.zeros_like(u)), updates)
+    opt_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(grads_finite, new, old) if hasattr(new, "shape") else new,
+        opt_state,
+        old_opt_state,
+    )
+    return updates, opt_state
+
+
+def make_lm_train_step(lm_module, optimizer, mesh=None, accum_steps: int = 1):
+    """Returns jitted step(params, opt_state, batch, step) -> (params,
+    opt_state, metrics).
+
+    batch: {'ids': [A, B, T], 'types': [A, B, T], 'targets': [A, B, T],
+    'lengths': [A, B]} with A = accum_steps microbatches (A=1 => no accum).
+    """
+
+    def loss_fn(params, mb):
+        logits = lm_module.apply(params, mb["ids"], mb["types"], mb["lengths"], method="forward_logits")
+        loss, acc = lm_ce_loss(logits, mb["targets"])
+        return loss, acc
+
+    def step_fn(params, opt_state, batch, step):
+        def micro(carry, mb):
+            grads_acc, loss_acc, acc_acc = carry
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, mb)
+            grads_acc = jax.tree_util.tree_map(lambda a, g: a + g, grads_acc, grads)
+            return (grads_acc, loss_acc + loss, acc_acc + acc), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (grads, loss, acc), _ = jax.lax.scan(micro, (zero_grads, 0.0, 0.0), batch)
+        inv = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        updates, new_opt_state = skip_nonfinite(updates, new_opt_state, opt_state, finite)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss * inv, "acc": acc * inv, "grad_norm": gnorm, "step": step + 1}
+        return params, new_opt_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    # GSPMD: the caller places params/opt_state/batch on the mesh (see
+    # parallel.sharding.shard_params / shard_batch); jit infers shardings from
+    # the committed inputs and XLA inserts the collectives.
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
+def make_flow_train_step(flow, optimizer, mesh=None):
+    """Flow CFM training step (data-parallel). batch keys: token, token_len,
+    feat, feat_len, embedding; `streaming` is sampled per-step by the caller
+    (unified training, flow.py:201)."""
+
+    def step_fn(params, opt_state, batch, rng, streaming):
+        def loss_fn(p):
+            return flow.loss(
+                p, rng, batch["token"], batch["token_len"], batch["feat"], batch["feat_len"],
+                batch["embedding"], streaming=streaming,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        updates, new_opt_state = skip_nonfinite(updates, new_opt_state, opt_state, finite)
+        params = optax.apply_updates(params, updates)
+        return params, new_opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    return jax.jit(step_fn, static_argnames=("streaming",), donate_argnums=(0, 1))

@@ -1,0 +1,108 @@
+import numpy as np
+import pytest
+
+from cosyvoice_tpu.frontend.text_normalize import (
+    basic_normalize,
+    contains_chinese,
+    number_to_words,
+    spell_out_number,
+    split_paragraph,
+    replace_blank,
+    is_only_punctuation,
+)
+from cosyvoice_tpu.frontend.tokenizer import ByteFallbackTokenizer, get_tokenizer
+
+
+class TestTextNormalize:
+    def test_contains_chinese(self):
+        assert contains_chinese("你好 world")
+        assert not contains_chinese("hello world")
+
+    def test_number_to_words(self):
+        assert number_to_words("0") == "zero"
+        assert number_to_words("17") == "seventeen"
+        assert number_to_words("42") == "forty-two"
+        assert number_to_words("123") == "one hundred and twenty-three"
+        assert number_to_words("1000") == "one thousand"
+        assert number_to_words("1001") == "one thousand and one"
+
+    def test_spell_out_number(self):
+        assert spell_out_number("I have 2 cats") == "I have two cats"
+
+    def test_split_paragraph_en(self):
+        tok = ByteFallbackTokenizer()
+        utts = split_paragraph(
+            "This is one. This is two. " + "word " * 40 + ". Short tail",
+            tok.encode,
+            lang="en",
+            token_max_n=40,
+            token_min_n=20,
+            merge_len=10,
+        )
+        assert len(utts) >= 2
+        assert "".join(utts).startswith("This is one.")
+
+    def test_replace_blank(self):
+        # spaces survive only between two ascii non-space chars (reference
+        # frontend_utils.py:replace_blank)
+        assert replace_blank("你好 世界 ok go") == "你好世界ok go"
+
+    def test_punctuation_only(self):
+        assert is_only_punctuation("!!..,")
+        assert not is_only_punctuation("a.")
+
+    def test_basic_normalize_en(self):
+        tok = ByteFallbackTokenizer()
+        segs = basic_normalize("The year 2024 was great", tok.encode)
+        assert any("two thousand" in s for s in segs)
+
+
+class TestTokenizer:
+    def test_byte_roundtrip(self):
+        tok = ByteFallbackTokenizer()
+        text = "hello <|endofprompt|> [laughter] 你好"
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text
+        assert tok.special_ids["<|endofprompt|>"] in ids
+
+    def test_get_tokenizer_fallback(self):
+        tok = get_tokenizer(None)
+        assert tok.vocab_size > 256
+
+
+class TestFrontendPipeline:
+    def test_zero_shot_assembly(self):
+        import jax
+
+        from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+
+        fe = CosyVoiceFrontEnd()
+        rng = np.random.default_rng(0)
+        prompt_wav = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+        out = fe.frontend_zero_shot("Hello there, nice day.", "A prompt.", prompt_wav)
+        assert out["prompt_speech_feat"].shape[1] == 2 * len(out["flow_prompt_speech_token"])
+        assert out["flow_embedding"].shape == (1, 192)
+        assert out["text_tokens"].dtype == np.int32
+        assert (out["llm_prompt_speech_token"] < 6561).all()
+
+    def test_vc_assembly(self):
+        from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+
+        fe = CosyVoiceFrontEnd()
+        rng = np.random.default_rng(1)
+        prompt = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+        src = (rng.standard_normal((1, 8000)) * 0.1).astype(np.float32)
+        out = fe.frontend_vc(src, prompt)
+        assert len(out["source_speech_token"]) > 0
+        assert out["flow_embedding"].shape == (1, 192)
+
+    def test_spk_cache(self, tmp_path):
+        from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+
+        fe = CosyVoiceFrontEnd()
+        rng = np.random.default_rng(2)
+        prompt = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+        assert fe.add_zero_shot_spk("prompt text.", prompt, "spk1")
+        fe.save_spkinfo(str(tmp_path / "spk2info.pkl"))
+        out = fe.frontend_zero_shot("hello.", "", prompt, zero_shot_spk_id="spk1")
+        assert "flow_embedding" in out and "text_tokens" in out
