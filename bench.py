@@ -25,6 +25,7 @@ def main():
     from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
     from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, TYPE_SPECIAL, TYPE_SPEECH, TYPE_TEXT
     from cosyvoice_tpu.runtime.engine import CosyVoice2Engine
+    from cosyvoice_tpu.utils.devices import init_on_cpu, to_default_device
 
     K = jax.random.PRNGKey
     rng = np.random.default_rng(0)
@@ -37,9 +38,14 @@ def main():
     hift = HiFTGenerator(HiFTConfig())
 
     t0 = time.time()
-    lm_params = lm.init(K(0))
-    flow_params = flow.init(K(1))
-    hift_params = hift.init(K(2), jnp.zeros((1, 8, 80)), K(3))
+    with init_on_cpu():
+        lm_params = lm.init(K(0))
+        flow_params = flow.init(K(1))
+        hift_params = hift.init(K(2), jnp.zeros((1, 8, 80)), K(3))
+    lm_params = to_default_device(lm_params)
+    flow_params = to_default_device(flow_params)
+    hift_params = to_default_device(hift_params)
+    jax.block_until_ready((lm_params, flow_params, hift_params))
     init_s = time.time() - t0
 
     engine = CosyVoice2Engine(lm, flow, hift, lm_params, flow_params, hift_params)

@@ -23,15 +23,17 @@ def nucleus_sampling(rng: jax.Array, logp: jax.Array, top_p: float = 0.8, top_k:
     Keep rule mirrors the reference loop: element i (prob-desc order) is kept
     iff exclusive-cumsum(prob)[i] < top_p AND i < top_k, i.e. the element that
     crosses top_p is included.
+
+    Since top_k <= 25 << V, only a lax.top_k over V is needed (not a full
+    sort) — the decode hot loop then works on 25 elements.
     """
     probs = jax.nn.softmax(logp)
-    sorted_probs = jnp.sort(probs)[::-1]
-    order = jnp.argsort(-probs, stable=True)
-    excl_cum = jnp.cumsum(sorted_probs) - sorted_probs
-    keep = (excl_cum < top_p) & (jnp.arange(logp.shape[0]) < top_k)
-    masked_logits = jnp.where(keep, jnp.log(jnp.maximum(sorted_probs, 1e-30)), NEG_INF)
+    top_probs, top_idx = jax.lax.top_k(probs, min(top_k, logp.shape[0]))
+    excl_cum = jnp.cumsum(top_probs) - top_probs
+    keep = (excl_cum < top_p) & (jnp.arange(top_probs.shape[0]) < top_k)
+    masked_logits = jnp.where(keep, jnp.log(jnp.maximum(top_probs, 1e-30)), NEG_INF)
     pick = jax.random.categorical(rng, masked_logits)
-    return order[pick]
+    return top_idx[pick]
 
 
 def ras_sampling(

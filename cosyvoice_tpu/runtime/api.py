@@ -45,18 +45,31 @@ def _save_msgpack(path, params):
 class CosyVoice2:
     sample_rate = 24000
 
-    def __init__(self, model_dir: str = "", fp16: bool = False, seed: int = 1986):
+    def __init__(
+        self,
+        model_dir: str = "",
+        fp16: bool = False,
+        seed: int = 1986,
+        lm_cfg: Optional[LMConfig] = None,
+        flow_cfg: Optional[FlowConfig] = None,
+        hift_cfg: Optional[HiFTConfig] = None,
+    ):
         self.model_dir = model_dir
-        lm_cfg, flow_cfg, hift_cfg = LMConfig(), FlowConfig(), HiFTConfig()
+        lm_cfg = lm_cfg or LMConfig()
+        flow_cfg = flow_cfg or FlowConfig()
+        hift_cfg = hift_cfg or HiFTConfig()
         self.lm = Qwen2LM(lm_cfg)
         self.flow = CausalFlow(flow_cfg)
         self.hift = HiFTGenerator(hift_cfg)
 
+        from cosyvoice_tpu.utils.devices import init_on_cpu, to_default_device
+
         k = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(k, 3)
-        lm_params = self.lm.init(k1)
-        flow_params = self.flow.init(k2)
-        hift_params = self.hift.init(k3, jnp.zeros((1, 8, 80)), k)
+        with init_on_cpu():
+            lm_params = self.lm.init(k1)
+            flow_params = self.flow.init(k2)
+            hift_params = self.hift.init(k3, jnp.zeros((1, 8, 80)), k)
         for name, template in (("lm", lm_params), ("flow", flow_params), ("hift", hift_params)):
             path = os.path.join(model_dir, f"{name}.msgpack") if model_dir else ""
             if path and os.path.exists(path):
@@ -64,7 +77,7 @@ class CosyVoice2:
                 logging.info("loaded %s", path)
             else:
                 logging.warning("no checkpoint for %s — using random init", name)
-            setattr(self, f"{name}_params", template)
+            setattr(self, f"{name}_params", to_default_device(template))
 
         self.frontend = CosyVoiceFrontEnd(
             token_path=os.path.join(model_dir, "tokenizer") if model_dir else None,
