@@ -36,12 +36,17 @@ class FlowConfig:
     token_mel_ratio: int = 2
     pre_lookahead_len: int = 3
     chunk_size: int = 25  # streaming chunk, tokens
-    # encoder dims
+    # encoder dims (upsample-conformer variant)
     attention_heads: int = 8
     linear_units: int = 2048
     num_blocks: int = 6
     num_up_blocks: int = 4
+    # v3 DiT variant
+    encoder_type: str = "upsample_conformer"  # or "dit_prelookahead"
+    estimator_type: str = "unet"  # or "dit"
+    dit_lookahead_channels: int = 1024
     estimator: EstimatorConfig = field(default_factory=EstimatorConfig)
+    dit: Optional[object] = None  # DiTConfig when estimator_type == "dit"
     cfm: CFMConfig = field(default_factory=CFMConfig)
 
 
@@ -98,13 +103,57 @@ class FlowEncoder(nn.Module):
         return self.encoder_proj(h), mel_mask
 
 
+class DiTFlowEncoder(nn.Module):
+    """CosyVoice3 flow front-end (flow.py:284-414): token embedding (80-d) ->
+    PreLookaheadLayer -> repeat_interleave(token_mel_ratio). No conformer."""
+
+    cfg: "FlowConfig"
+
+    def setup(self):
+        c = self.cfg
+        self.input_embedding = nn.Embed(c.vocab_size, c.input_size)
+        self.spk_embed_affine_layer = nn.Dense(c.output_size)
+        from cosyvoice_tpu.nn.conformer import PreLookaheadLayer
+
+        self.pre_lookahead_layer = PreLookaheadLayer(c.dit_lookahead_channels, c.pre_lookahead_len)
+
+    def init_all(self, token, token_len, embedding):
+        mu, mask = self(token, token_len)
+        return mu, mask, self.project_spk(embedding)
+
+    def project_spk(self, embedding: jax.Array) -> jax.Array:
+        embedding = embedding / (jnp.linalg.norm(embedding, axis=-1, keepdims=True) + 1e-12)
+        return self.spk_embed_affine_layer(embedding)
+
+    def __call__(self, token, token_len, context_token=None, streaming=False, deterministic=True):
+        c = self.cfg
+        L = token.shape[1]
+        mask = make_non_pad_mask(token_len, L)
+        emb = self.input_embedding(jnp.clip(token, 0)) * mask[..., None]
+        if context_token is not None:
+            ctx = self.input_embedding(jnp.clip(context_token, 0))
+            emb = jax.lax.dynamic_update_slice(emb, ctx.astype(emb.dtype), (0, token_len[0], 0))
+        h = self.pre_lookahead_layer(emb)
+        h = jnp.repeat(h, c.token_mel_ratio, axis=1)
+        mel_mask = jnp.repeat(mask, c.token_mel_ratio, axis=1)
+        return h, mel_mask
+
+
 class CausalFlow:
     """CosyVoice2/3-style causal flow model (functional orchestrator)."""
 
     def __init__(self, cfg: FlowConfig = FlowConfig()):
         self.cfg = cfg
-        self.encoder = FlowEncoder(cfg)
-        self.estimator = ConditionalDecoder(cfg.estimator)
+        if cfg.encoder_type == "dit_prelookahead":
+            self.encoder = DiTFlowEncoder(cfg)
+        else:
+            self.encoder = FlowEncoder(cfg)
+        if cfg.estimator_type == "dit":
+            from cosyvoice_tpu.models.dit import DiTConfig, DiTEstimator
+
+            self.estimator = DiTEstimator(cfg.dit or DiTConfig(static_chunk_size=cfg.chunk_size * cfg.token_mel_ratio))
+        else:
+            self.estimator = ConditionalDecoder(cfg.estimator)
 
     # ---------------- init ----------------
     def init(self, rng: jax.Array) -> dict:

@@ -164,9 +164,15 @@ class Qwen2LM:
 
         def sample(rng_k, logits, n_dec, rec):
             logp = jax.nn.log_softmax(logits, axis=-1)
-            # suppress eos before min_len (llm.py:150-160 ignore_eos)
+            # suppress stop ids before min_len. The reference masks only eos
+            # (llm.py:150-160 ignore_eos) and breaks on any stop id; masking
+            # the whole stop range matches the TRT-LLM serving min_tokens
+            # semantics (runtime/triton_trtllm) and is robust for v3's 200
+            # stop rows.
             logp = jnp.where(
-                (jnp.arange(c.head_size)[None, :] == eos) & (n_dec < min_len)[:, None], -1.0e30, logp
+                (jnp.arange(c.head_size)[None, :] >= c.speech_token_size) & (n_dec < min_len)[:, None],
+                -1.0e30,
+                logp,
             )
             toks = []
             for b in range(logits.shape[0]):

@@ -153,6 +153,37 @@ class CosyVoice2:
         _save_msgpack(os.path.join(out_dir, "hift.msgpack"), self.hift_params)
 
 
+class CosyVoice3(CosyVoice2):
+    """Fun-CosyVoice3-0.5B: FSQ-6561 codec with 200 special rows in the
+    speech table, DiT flow estimator, fully causal vocoder
+    (reference cli/cosyvoice.py:189-226, cli/model.py:397-450)."""
+
+    def __init__(self, model_dir: str = "", fp16: bool = False, seed: int = 1986, **kwargs):
+        from cosyvoice_tpu.models.dit import DiTConfig
+        from cosyvoice_tpu.runtime.engine import CosyVoice3Engine
+
+        lm_cfg = kwargs.pop("lm_cfg", None) or LMConfig(
+            speech_token_size=6561, num_special_head=200, special_in_speech_table=True
+        )
+        flow_cfg = kwargs.pop("flow_cfg", None) or FlowConfig(
+            input_size=80, encoder_type="dit_prelookahead", estimator_type="dit", dit=DiTConfig()
+        )
+        hift_cfg = kwargs.pop("hift_cfg", None) or HiFTConfig(causal=True)
+        super().__init__(model_dir, fp16=fp16, seed=seed, lm_cfg=lm_cfg, flow_cfg=flow_cfg, hift_cfg=hift_cfg)
+        # swap in the v3 engine (cumulative-mel causal vocoding + FSQ squelch)
+        self.engine = CosyVoice3Engine(
+            self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed
+        )
+
+    def inference_instruct2(
+        self, tts_text, instruct_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True
+    ):
+        assert "<|endofprompt|>" not in instruct_text or True
+        yield from super().inference_instruct2(
+            tts_text, instruct_text, prompt_wav, zero_shot_spk_id, stream, speed, text_frontend
+        )
+
+
 class AutoModel:
     """Pick the model class from the model dir contents (cosyvoice.py:228-238)."""
 
@@ -164,4 +195,6 @@ class AutoModel:
                 version = json.load(f).get("version", 2)
         if version == 2:
             return CosyVoice2(model_dir, **kwargs)
-        raise ValueError(f"unsupported model version {version} (v1/v3 engines land in the next round)")
+        if version == 3:
+            return CosyVoice3(model_dir, **kwargs)
+        raise ValueError(f"unsupported model version {version} (the v1 engine lands in the next milestone)")

@@ -38,6 +38,9 @@ class SessionState:
     hift_mel_cache: Optional[np.ndarray] = None  # [1, 8, 80]
     hift_source_cache: Optional[np.ndarray] = None  # [1, 8*480]
     hift_speech_cache: Optional[np.ndarray] = None  # [1, 8*480]
+    # v3 (pure-causal vocoder): cumulative mel + emitted-sample offset
+    mel_cumulative: Optional[np.ndarray] = None
+    speech_offset: int = 0
 
 
 def _bucket(n: int, b: int) -> int:
@@ -204,7 +207,7 @@ class CosyVoice2Engine:
         state = SessionState()
         la = self.pre_lookahead_len
 
-        if source_speech_token is None:
+        if source_speech_token is None:  # noqa: SIM108
             # LM prompt: [sos, prompt_text, text, task, prompt_speech]
             text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
             ids = np.concatenate(
@@ -221,7 +224,7 @@ class CosyVoice2Engine:
             min_len = int(len(text_tokens) * 2)
             max_len = int(len(text_tokens) * 20)
             rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
-            token_gen = self.lm.generate(self.lm_params, ids, types, rng, min_len, max_len)
+            token_gen = self._squelch(self.lm.generate(self.lm_params, ids, types, rng, min_len, max_len))
         else:
             token_gen = iter([np.asarray(source_speech_token, np.int32)])
 
@@ -285,3 +288,77 @@ class CosyVoice2Engine:
             finalize=True,
         )
         yield {"tts_speech": wav}
+
+    # ------------------------------------------------------------------
+    # silent-token squelch (cli/model.py:101-129): drop runs of more than
+    # max_silent consecutive silent/breath tokens. v1/v2 have no silent list.
+    silent_tokens: tuple = ()
+    max_silent: int = 5
+
+    def _squelch(self, gen):
+        if not self.silent_tokens:
+            yield from gen
+            return
+        run = 0
+        for block in gen:
+            out = []
+            for t in block.tolist():
+                if t in self.silent_tokens:
+                    run += 1
+                    if run > self.max_silent:
+                        continue
+                else:
+                    run = 0
+                out.append(t)
+            if out:
+                yield np.asarray(out, np.int32)
+
+
+class CosyVoice3Engine(CosyVoice2Engine):
+    """v3 engine (cli/model.py:397-450): same chunk schedule as v2 but the
+    pure-causal vocoder re-vocodes the CUMULATIVE mel each chunk with a
+    finalize flag and slices new samples at speech_offset — no source/speech
+    caches, no cross-fade. FSQ silent/breath tokens are squelched."""
+
+    silent_tokens = (1, 2, 28, 29, 55, 248, 494, 2241, 2242, 2322, 2323)
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._jit_hift_causal = jax.jit(
+            lambda p, mel, rng, finalize: self.hift.apply(p, mel, rng, finalize=finalize, method="inference"),
+            static_argnames=("finalize",),
+        )
+
+    def token2wav(
+        self,
+        state: SessionState,
+        tokens: np.ndarray,
+        prompt_token: np.ndarray,
+        prompt_feat: np.ndarray,
+        embedding: np.ndarray,
+        token_offset: int,
+        stream: bool = False,
+        finalize: bool = False,
+        speed: float = 1.0,
+    ) -> np.ndarray:
+        all_tokens = np.concatenate([prompt_token, tokens])
+        mel = self._flow_chunk(all_tokens, prompt_feat, embedding, streaming=stream, finalize=finalize)
+        mel = mel[:, prompt_feat.shape[1] + token_offset * self.token_mel_ratio :]
+
+        if state.mel_cumulative is not None:
+            mel = np.concatenate([state.mel_cumulative, mel], axis=1)
+        state.mel_cumulative = mel
+        if speed != 1.0:
+            assert token_offset == 0 and finalize, "speed change only supports non-stream mode"
+            from cosyvoice_tpu.ops.resample import interpolate_linear
+
+            mel = np.asarray(
+                interpolate_linear(jnp.asarray(mel.transpose(0, 2, 1)), int(mel.shape[1] / speed))
+            ).transpose(0, 2, 1)
+        if mel.shape[1] == 0:
+            return np.zeros((1, 0), np.float32)
+        rng = jax.random.PRNGKey(self.seed)
+        wav, _ = self._jit_hift_causal(self.hift_params, jnp.asarray(mel), rng, finalize)
+        wav = np.asarray(wav)[:, state.speech_offset :]
+        state.speech_offset += wav.shape[1]
+        return wav
