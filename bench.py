@@ -18,7 +18,17 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent XLA compilation cache: the heavy first-run compiles (0.5B LM
+    # prefill/decode scan, flow conformer+CFM, vocoder) are reused across
+    # bench invocations
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     import jax.numpy as jnp
 
     from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig

@@ -59,7 +59,12 @@ class HiFTConfig:
 
     @property
     def hop_total(self) -> int:
-        return int(np.prod(self.upsample_rates)) * self.istft_hop  # 480 @24k
+        return int(np.prod(self.upsample_rates)) * self.istft_hop  # 480 @24k, 256 @22.05k
+
+    @property
+    def sinegen_type(self) -> str:
+        # reference generator.py:422: '1' at 22.05 kHz (v1), '2' otherwise
+        return "1" if self.sampling_rate == 22050 else "2"
 
 
 class ConvRNNF0Predictor(nn.Module):
@@ -95,6 +100,27 @@ class CausalConvRNNF0Predictor(nn.Module):
             x = CausalConv1d(self.cond_channels, 3, weight_norm=True, name=f"condnet_{i}")(x)
             x = jax.nn.elu(x)
         return jnp.abs(nn.Dense(1, name="classifier")(x)[..., 0])
+
+
+def sine_source_v1(
+    rng: jax.Array,
+    f0_up: jax.Array,
+    cfg: HiFTConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """SineGen (type '1', generator.py:125-189): direct cumsum phase at the
+    output rate with a uniform(-pi, pi) initial phase per harmonic (0 for the
+    fundamental). f0_up: [B, L]. Returns (sine_waves [B, L, H+1], uv)."""
+    H = cfg.nb_harmonics + 1
+    B, L = f0_up.shape
+    k_phase, k_noise = jax.random.split(rng)
+    fn = f0_up[..., None] * jnp.arange(1, H + 1, dtype=f0_up.dtype) / cfg.sampling_rate  # [B, L, H]
+    theta = 2.0 * np.pi * (jnp.cumsum(fn, axis=1) % 1.0)
+    phase = jax.random.uniform(k_phase, (B, 1, H), minval=-np.pi, maxval=np.pi).at[:, :, 0].set(0.0)
+    sines = cfg.nsf_alpha * jnp.sin(theta + phase)
+    uv = (f0_up > cfg.nsf_voiced_threshold).astype(f0_up.dtype)[..., None]
+    noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
+    noise = noise_amp * jax.random.normal(k_noise, sines.shape, sines.dtype)
+    return sines * uv + noise, uv
 
 
 def sine_source(
@@ -144,7 +170,8 @@ class SourceModuleHnNSF(nn.Module):
 
     @nn.compact
     def __call__(self, rng: jax.Array, f0_up: jax.Array) -> jax.Array:
-        sine_waves, _ = sine_source(rng, f0_up, self.cfg)
+        src = sine_source_v1 if self.cfg.sinegen_type == "1" else sine_source
+        sine_waves, _ = src(rng, f0_up, self.cfg)
         sine_waves = jax.lax.stop_gradient(sine_waves)
         return jnp.tanh(nn.Dense(1, name="l_linear")(sine_waves))[..., 0]  # [B, L]
 

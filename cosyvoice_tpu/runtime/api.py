@@ -153,6 +153,91 @@ class CosyVoice2:
         _save_msgpack(os.path.join(out_dir, "hift.msgpack"), self.hift_params)
 
 
+class CosyVoice:
+    """CosyVoice-300M (v1): TransformerLM + MaskedDiffWithXvec + 22.05 kHz
+    HiFT (reference cli/cosyvoice.py:26-139). Adds inference_sft and
+    inference_instruct on top of zero-shot/cross-lingual/vc."""
+
+    sample_rate = 22050
+
+    def __init__(
+        self,
+        model_dir: str = "",
+        fp16: bool = False,
+        seed: int = 1986,
+        lm_cfg=None,
+        flow_cfg=None,
+        hift_cfg=None,
+    ):
+        from cosyvoice_tpu.models.flow_v1 import FlowV1Config, MaskedDiffFlow
+        from cosyvoice_tpu.models.llm_v1 import LMv1Config, TransformerLM
+        from cosyvoice_tpu.runtime.engine import CosyVoiceV1Engine
+        from cosyvoice_tpu.utils.devices import init_on_cpu, to_default_device
+
+        self.model_dir = model_dir
+        self.lm = TransformerLM(lm_cfg or LMv1Config())
+        self.flow = MaskedDiffFlow(flow_cfg or FlowV1Config())
+        self.hift = HiFTGenerator(
+            hift_cfg
+            or HiFTConfig(
+                sampling_rate=22050,
+                upsample_rates=(8, 8),
+                upsample_kernel_sizes=(16, 16),
+                source_resblock_kernel_sizes=(7, 11),
+                source_resblock_dilations=((1, 3, 5), (1, 3, 5)),
+            )
+        )
+        k = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(k, 3)
+        with init_on_cpu():
+            lm_params = self.lm.init(k1)
+            flow_params = self.flow.init(k2)
+            hift_params = self.hift.init(k3, jnp.zeros((1, 8, 80)), k)
+        for name, template in (("lm", lm_params), ("flow", flow_params), ("hift", hift_params)):
+            path = os.path.join(model_dir, f"{name}.msgpack") if model_dir else ""
+            if path and os.path.exists(path):
+                template = _load_msgpack(path, template)
+            setattr(self, f"{name}_params", to_default_device(template))
+        self.frontend = CosyVoiceFrontEnd(
+            token_path=os.path.join(model_dir, "tokenizer") if model_dir else None,
+            sample_rate=self.sample_rate,
+            spk2info_path=os.path.join(model_dir, "spk2info.pkl") if model_dir else "",
+        )
+        self.engine = CosyVoiceV1Engine(
+            self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed
+        )
+
+    list_available_spks = CosyVoice2.list_available_spks
+    add_zero_shot_spk = CosyVoice2.add_zero_shot_spk
+    save_spkinfo = CosyVoice2.save_spkinfo
+    _run = CosyVoice2._run
+    inference_zero_shot = CosyVoice2.inference_zero_shot
+    inference_cross_lingual = CosyVoice2.inference_cross_lingual
+    inference_vc = CosyVoice2.inference_vc
+    save_pretrained = CosyVoice2.save_pretrained
+
+    def inference_sft(self, tts_text, spk_id, stream=False, speed=1.0, text_frontend=True):
+        """Pre-enrolled speaker synthesis (cli/cosyvoice.py:80-89)."""
+        info = self.frontend.spk2info[spk_id]
+        for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+            mi = dict(info)
+            mi["text_tokens"] = self.frontend._extract_text_token(seg)
+            mi.setdefault("prompt_text_tokens", np.zeros(0, np.int32))
+            mi.setdefault("llm_prompt_speech_token", np.zeros(0, np.int32))
+            yield from self._run(mi, stream, speed, len(seg))
+
+    def inference_instruct(self, tts_text, spk_id, instruct_text, stream=False, speed=1.0, text_frontend=True):
+        """Instructed synthesis: instruct text as LM prompt, no speaker
+        embedding in the LM (cli/frontend.py:201-209)."""
+        info = self.frontend.spk2info[spk_id]
+        for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+            mi = dict(info)
+            mi["text_tokens"] = self.frontend._extract_text_token(seg)
+            mi["prompt_text_tokens"] = self.frontend._extract_text_token(instruct_text + "<endofprompt>")
+            mi["llm_prompt_speech_token"] = np.zeros(0, np.int32)
+            yield from self._run(mi, stream, speed, len(seg))
+
+
 class CosyVoice3(CosyVoice2):
     """Fun-CosyVoice3-0.5B: FSQ-6561 codec with 200 special rows in the
     speech table, DiT flow estimator, fully causal vocoder
@@ -193,8 +278,10 @@ class AutoModel:
         if cfg_path and os.path.exists(cfg_path):
             with open(cfg_path) as f:
                 version = json.load(f).get("version", 2)
+        if version == 1:
+            return CosyVoice(model_dir, **kwargs)
         if version == 2:
             return CosyVoice2(model_dir, **kwargs)
         if version == 3:
             return CosyVoice3(model_dir, **kwargs)
-        raise ValueError(f"unsupported model version {version} (the v1 engine lands in the next milestone)")
+        raise ValueError(f"unsupported model version {version}")

@@ -72,8 +72,9 @@ class CosyVoice2Engine:
         self.stream_scale_factor = 2
         self.pre_lookahead_len = flow.cfg.pre_lookahead_len
         self.token_mel_ratio = flow.cfg.token_mel_ratio
+        self.wav_hop = hift.cfg.hop_total  # samples per mel frame (480 @24k)
         self.mel_cache_len = 8
-        self.source_cache_len = self.mel_cache_len * 480
+        self.source_cache_len = self.mel_cache_len * self.wav_hop
         self.speech_window = np.hamming(2 * self.source_cache_len)
         self.token_bucket = token_bucket
         self.mel_bucket = mel_bucket
@@ -131,7 +132,7 @@ class CosyVoice2Engine:
         mel_p = np.full((1, Tpad, 80), LOG_SILENCE, np.float32)
         mel_p[:, :T] = mel
         wav, src = self._jit_hift(self.hift_params, jnp.asarray(mel_p), rng, jnp.asarray(cache_source))
-        return np.asarray(wav)[:, : T * 480], np.asarray(src)[:, : T * 480]
+        return np.asarray(wav)[:, : T * self.wav_hop], np.asarray(src)[:, : T * self.wav_hop]
 
     # ------------------------------------------------------------------
     def token2wav(
@@ -362,3 +363,183 @@ class CosyVoice3Engine(CosyVoice2Engine):
         wav = np.asarray(wav)[:, state.speech_offset :]
         state.speech_offset += wav.shape[1]
         return wav
+
+
+@dataclass
+class V1SessionState:
+    """v1 streaming caches (cli/model.py:57-63)."""
+
+    mel_overlap: Optional[np.ndarray] = None  # [1, 34, 80]
+    flow_cache: Optional[tuple] = None  # (z, mu) each [1, mel_prompt+34, 80]
+    hift_mel_cache: Optional[np.ndarray] = None  # [1, 20, 80]
+    hift_source_cache: Optional[np.ndarray] = None
+    hift_speech_cache: Optional[np.ndarray] = None
+    chunk_idx: int = 0
+
+
+class CosyVoiceV1Engine:
+    """CosyVoice-300M engine (cli/model.py:29-242): growing-hop consumer with
+    20-token overlap, mel hamming cross-fade, flow z/mu cache, HiFT
+    mel/source caches. Unlike v2, the flow consumes token WINDOWS (not the
+    full prefix); continuity comes from the pinned (z, mu) cache."""
+
+    def __init__(self, lm, flow, hift, lm_params, flow_params, hift_params, seed: int = 1986):
+        self.lm = lm
+        self.flow = flow
+        self.hift = hift
+        self.lm_params = lm_params
+        self.flow_params = flow_params
+        self.hift_params = hift_params
+        self.seed = seed
+        fr = flow.cfg.input_frame_rate
+        self.token_min_hop_len = 2 * fr
+        self.token_max_hop_len = 4 * fr
+        self.token_overlap_len = flow.cfg.token_overlap_len
+        self.mel_overlap_len = flow.cfg.overlap_mel
+        self.mel_window = np.hamming(2 * self.mel_overlap_len)
+        self.wav_hop = hift.cfg.hop_total  # 256 @22.05k
+        self.mel_cache_len = 20
+        self.source_cache_len = self.mel_cache_len * self.wav_hop
+        self.speech_window = np.hamming(2 * self.source_cache_len)
+
+        self._jit_flow = jax.jit(self.flow.inference, static_argnames=("prompt_token_len",))
+        self._jit_hift = jax.jit(
+            lambda p, mel, rng, cache_source: self.hift.apply(
+                p, mel, rng, cache_source=cache_source, method="inference"
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def token2wav(self, state, tokens, prompt_token, prompt_feat, embedding, finalize=False, speed=1.0):
+        """tokens: [Lw] current window (hop+overlap, or remainder)."""
+        if len(tokens) == 0:
+            # finalize with no fresh tokens: emit the held-back overlap mel
+            mel = state.mel_overlap if state.mel_overlap is not None else np.zeros((1, 0, 80), np.float32)
+            state.mel_overlap = None
+            if mel.shape[1] == 0 and state.hift_mel_cache is None:
+                return np.zeros((1, 0), np.float32)
+        else:
+            all_tok = np.concatenate([prompt_token, tokens]).astype(np.int32)
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.chunk_idx)
+            mel, new_cache = self._jit_flow(
+                self.flow_params,
+                rng,
+                jnp.asarray(all_tok[None]),
+                len(prompt_token),
+                jnp.asarray(prompt_feat),
+                jnp.asarray(embedding),
+                cache=state.flow_cache,
+            )
+            state.flow_cache = new_cache
+            state.chunk_idx += 1
+            mel = np.asarray(mel)
+
+            if state.mel_overlap is not None:
+                n = min(self.mel_overlap_len, mel.shape[1])
+                w_in = self.mel_window[: self.mel_overlap_len]
+                w_out = self.mel_window[self.mel_overlap_len :]
+                head = mel[:, :n] * w_in[None, :n, None] + state.mel_overlap[:, :n] * w_out[None, :n, None]
+                mel = np.concatenate([head, mel[:, n:]], axis=1)
+        if state.hift_mel_cache is not None:
+            mel = np.concatenate([state.hift_mel_cache, mel], axis=1)
+            cache_source = state.hift_source_cache
+        else:
+            cache_source = np.zeros((1, 0), np.float32)
+
+        hift_rng = jax.random.PRNGKey(self.seed)
+        if not finalize:
+            state.mel_overlap = mel[:, -self.mel_overlap_len :]
+            mel = mel[:, : -self.mel_overlap_len]
+            wav, src = self._vocode(mel, cache_source, hift_rng)
+            if state.hift_speech_cache is not None:
+                wav = self._fade_speech(wav, state.hift_speech_cache)
+            state.hift_mel_cache = mel[:, -self.mel_cache_len :]
+            state.hift_source_cache = src[:, -self.source_cache_len :]
+            state.hift_speech_cache = wav[:, -self.source_cache_len :]
+            return wav[:, : -self.source_cache_len]
+        else:
+            if speed != 1.0:
+                assert state.hift_mel_cache is None, "speed change only supports non-stream mode"
+                from cosyvoice_tpu.ops.resample import interpolate_linear
+
+                mel = np.asarray(
+                    interpolate_linear(jnp.asarray(mel.transpose(0, 2, 1)), int(mel.shape[1] / speed))
+                ).transpose(0, 2, 1)
+            wav, _ = self._vocode(mel, cache_source, hift_rng)
+            if state.hift_speech_cache is not None:
+                wav = self._fade_speech(wav, state.hift_speech_cache)
+            return wav
+
+    def _vocode(self, mel, cache_source, rng):
+        wav, src = self._jit_hift(self.hift_params, jnp.asarray(mel), rng, jnp.asarray(cache_source))
+        return np.asarray(wav), np.asarray(src)
+
+    def _fade_speech(self, wav, prev_tail):
+        n = self.source_cache_len
+        w = self.speech_window
+        out = wav.copy()
+        out[:, :n] = wav[:, :n] * w[n:] + prev_tail * w[:n]
+        return out
+
+    # ------------------------------------------------------------------
+    def tts(
+        self,
+        text_tokens,
+        prompt_text_tokens,
+        llm_prompt_speech_token,
+        flow_prompt_speech_token,
+        prompt_speech_feat,
+        flow_embedding,
+        llm_embedding=None,
+        stream=False,
+        speed=1.0,
+        source_speech_token=None,
+        rng_seed=None,
+    ):
+        state = V1SessionState()
+        if source_speech_token is None:
+            text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
+            min_len = int(len(text_tokens) * 2)
+            max_len = int(len(text_tokens) * 20)
+            emb = llm_embedding if llm_embedding is not None else flow_embedding
+            rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
+            token_gen = self.lm.generate(
+                self.lm_params, text, emb, llm_prompt_speech_token.astype(np.int32), rng, min_len, max_len
+            )
+        else:
+            token_gen = iter([np.asarray(source_speech_token, np.int32)])
+
+        pending: list = []
+        if not stream:
+            for block in token_gen:
+                pending.extend(block.tolist())
+            wav = self.token2wav(
+                state, np.asarray(pending, np.int32), flow_prompt_speech_token.astype(np.int32),
+                prompt_speech_feat, flow_embedding, finalize=True, speed=speed,
+            )
+            yield {"tts_speech": wav}
+            return
+
+        hop = self.token_min_hop_len
+        gen_done = False
+        while True:
+            while not gen_done and len(pending) < hop + self.token_overlap_len:
+                try:
+                    pending.extend(next(token_gen).tolist())
+                except StopIteration:
+                    gen_done = True
+            if len(pending) >= hop + self.token_overlap_len:
+                window = np.asarray(pending[: hop + self.token_overlap_len], np.int32)
+                wav = self.token2wav(
+                    state, window, flow_prompt_speech_token.astype(np.int32),
+                    prompt_speech_feat, flow_embedding, finalize=False,
+                )
+                pending = pending[hop:]
+                yield {"tts_speech": wav}
+            if gen_done and len(pending) < hop + self.token_overlap_len:
+                break
+        wav = self.token2wav(
+            state, np.asarray(pending, np.int32), flow_prompt_speech_token.astype(np.int32),
+            prompt_speech_feat, flow_embedding, finalize=True,
+        )
+        yield {"tts_speech": wav}
