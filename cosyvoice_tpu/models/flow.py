@@ -45,6 +45,7 @@ class FlowConfig:
     encoder_type: str = "upsample_conformer"  # or "dit_prelookahead"
     estimator_type: str = "unet"  # or "dit"
     dit_lookahead_channels: int = 1024
+    dtype: object = None  # bf16 compute for encoder attention/FFN
     estimator: EstimatorConfig = field(default_factory=EstimatorConfig)
     dit: Optional[object] = None  # DiTConfig when estimator_type == "dit"
     cfm: CFMConfig = field(default_factory=CFMConfig)
@@ -68,6 +69,7 @@ class FlowEncoder(nn.Module):
             static_chunk_size=c.chunk_size,
             pre_lookahead_len=c.pre_lookahead_len,
             up_stride=c.token_mel_ratio,
+            dtype=c.dtype,
         )
         self.encoder_proj = nn.Dense(c.output_size)
 

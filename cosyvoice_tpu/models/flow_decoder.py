@@ -44,6 +44,7 @@ class EstimatorConfig:
     act_fn: str = "gelu"
     static_chunk_size: int = 50  # mel frames (= chunk_size * token_mel_ratio)
     causal: bool = True
+    dtype: object = None  # bf16 compute for the transformer blocks
 
 
 def _attn_bias(mask: jax.Array, streaming: bool, chunk: int) -> jax.Array:
@@ -79,7 +80,7 @@ class ConditionalDecoder(nn.Module):
 
         def tblocks(name):
             return [
-                BasicTransformerBlock(cfg.num_heads, cfg.attention_head_dim, name=f"{name}_{j}")
+                BasicTransformerBlock(cfg.num_heads, cfg.attention_head_dim, dtype=cfg.dtype, name=f"{name}_{j}")
                 for j in range(cfg.n_blocks)
             ]
 

@@ -62,9 +62,13 @@ class Qwen2Attention(nn.Module):
         """
         c = self.cfg
         B, S, _ = x.shape
-        q = nn.Dense(c.num_heads * c.head_dim, dtype=c.dtype, name="q_proj")(x)
-        k = nn.Dense(c.num_kv_heads * c.head_dim, dtype=c.dtype, name="k_proj")(x)
-        v = nn.Dense(c.num_kv_heads * c.head_dim, dtype=c.dtype, name="v_proj")(x)
+        # fused qkv: one [C, (H+2Hkv)*d] matmul per step instead of three —
+        # the decode hot loop is HBM-bound, fusing keeps the MXU streaming.
+        # (converter note: concat HF q_proj|k_proj|v_proj along out dim.)
+        nq = c.num_heads * c.head_dim
+        nkv = c.num_kv_heads * c.head_dim
+        qkv = nn.Dense(nq + 2 * nkv, dtype=c.dtype, name="qkv_proj")(x)
+        q, k, v = qkv[..., :nq], qkv[..., nq : nq + nkv], qkv[..., nq + nkv :]
         q = q.reshape(B, S, c.num_heads, c.head_dim)
         k = k.reshape(B, S, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, S, c.num_kv_heads, c.head_dim)
@@ -100,8 +104,9 @@ class Qwen2MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        gate = nn.Dense(c.intermediate_size, use_bias=False, dtype=c.dtype, name="gate_proj")(x)
-        up = nn.Dense(c.intermediate_size, use_bias=False, dtype=c.dtype, name="up_proj")(x)
+        # fused gate|up (converter note: concat HF gate_proj|up_proj)
+        gu = nn.Dense(2 * c.intermediate_size, use_bias=False, dtype=c.dtype, name="gate_up_proj")(x)
+        gate, up = jnp.split(gu, 2, axis=-1)
         return nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="down_proj")(jax.nn.silu(gate) * up)
 
 

@@ -14,6 +14,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1.0e30
 
@@ -28,17 +29,21 @@ def masked_softmax(scores: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
 
 
 class MultiHeadAttention(nn.Module):
-    """Absolute-position MHA (query/key/value/out linears, torch-compatible)."""
+    """Absolute-position MHA (query/key/value/out linears, torch-compatible).
+
+    `dtype` selects the matmul compute dtype (params stay fp32; softmax fp32).
+    """
 
     n_head: int
     n_feat: int
     key_bias: bool = True
+    dtype: object = None
 
     def setup(self):
-        self.linear_q = nn.Dense(self.n_feat)
-        self.linear_k = nn.Dense(self.n_feat, use_bias=self.key_bias)
-        self.linear_v = nn.Dense(self.n_feat)
-        self.linear_out = nn.Dense(self.n_feat)
+        self.linear_q = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_k = nn.Dense(self.n_feat, use_bias=self.key_bias, dtype=self.dtype)
+        self.linear_v = nn.Dense(self.n_feat, dtype=self.dtype)
+        self.linear_out = nn.Dense(self.n_feat, dtype=self.dtype)
 
     def _qkv(self, query, key, value):
         B, T1, _ = query.shape
@@ -64,8 +69,8 @@ class MultiHeadAttention(nn.Module):
             k = jnp.concatenate([kv_cache[0], k], axis=2)
             v = jnp.concatenate([kv_cache[1], v], axis=2)
         d_k = self.n_feat // self.n_head
-        scores = jnp.einsum("bhtd,bhsd->bhts", q, k) / jnp.sqrt(d_k).astype(q.dtype)
-        return self._out(masked_softmax(scores, mask), v), (k, v)
+        scores = jnp.einsum("bhtd,bhsd->bhts", q, k).astype(jnp.float32) / np.sqrt(d_k)
+        return self._out(masked_softmax(scores, mask).astype(v.dtype), v), (k, v)
 
 
 class RelPositionMultiHeadAttention(MultiHeadAttention):
@@ -74,7 +79,7 @@ class RelPositionMultiHeadAttention(MultiHeadAttention):
     def setup(self):
         super().setup()
         d_k = self.n_feat // self.n_head
-        self.linear_pos = nn.Dense(self.n_feat, use_bias=False)
+        self.linear_pos = nn.Dense(self.n_feat, use_bias=False, dtype=self.dtype)
         self.pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (self.n_head, d_k))
         self.pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (self.n_head, d_k))
 
@@ -98,12 +103,12 @@ class RelPositionMultiHeadAttention(MultiHeadAttention):
 
         p = self.linear_pos(pos_emb).reshape(1, -1, self.n_head, d_k).transpose(0, 2, 1, 3)
         q = q.transpose(0, 2, 1, 3)  # [B,T1,H,d]
-        q_u = (q + self.pos_bias_u).transpose(0, 2, 1, 3)
-        q_v = (q + self.pos_bias_v).transpose(0, 2, 1, 3)
+        q_u = (q + self.pos_bias_u.astype(q.dtype)).transpose(0, 2, 1, 3)
+        q_v = (q + self.pos_bias_v.astype(q.dtype)).transpose(0, 2, 1, 3)
 
-        matrix_ac = jnp.einsum("bhtd,bhsd->bhts", q_u, k)
-        matrix_bd = jnp.einsum("bhtd,bhpd->bhtp", q_v, p)
+        matrix_ac = jnp.einsum("bhtd,bhsd->bhts", q_u, k).astype(jnp.float32)
+        matrix_bd = jnp.einsum("bhtd,bhpd->bhtp", q_v, p).astype(jnp.float32)
         if matrix_bd.shape != matrix_ac.shape:
             matrix_bd = self.rel_shift(matrix_bd, t2)
-        scores = (matrix_ac + matrix_bd) / jnp.sqrt(d_k).astype(q.dtype)
-        return self._out(masked_softmax(scores, mask), v), (k, v)
+        scores = (matrix_ac + matrix_bd) / np.sqrt(d_k)
+        return self._out(masked_softmax(scores, mask).astype(v.dtype), v), (k, v)

@@ -28,11 +28,12 @@ class PositionwiseFeedForward(nn.Module):
     hidden_units: int
     dropout_rate: float = 0.0
     activation: str = "relu"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         d = x.shape[-1]
-        x = nn.Dense(self.hidden_units, name="w_1")(x)
+        x = nn.Dense(self.hidden_units, dtype=self.dtype, name="w_1")(x)
         if self.activation == "swish":
             x = x * jax.nn.sigmoid(x)
         elif self.activation == "relu":
@@ -42,7 +43,7 @@ class PositionwiseFeedForward(nn.Module):
         else:
             raise ValueError(self.activation)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        return nn.Dense(d, name="w_2")(x)
+        return nn.Dense(d, dtype=self.dtype, name="w_2")(x)
 
 
 class ConformerEncoderLayer(nn.Module):
@@ -61,6 +62,7 @@ class ConformerEncoderLayer(nn.Module):
     key_bias: bool = True
     selfattention_layer_type: str = "rel_selfattn"
     activation: str = "swish"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None, deterministic=True):
@@ -69,7 +71,7 @@ class ConformerEncoderLayer(nn.Module):
             residual = x
             xn = nn.LayerNorm(epsilon=1e-12, name="norm_ff_macaron")(x)
             x = residual + 0.5 * drop(
-                PositionwiseFeedForward(self.linear_units, self.dropout_rate, self.activation, name="feed_forward_macaron")(
+                PositionwiseFeedForward(self.linear_units, self.dropout_rate, self.activation, self.dtype, name="feed_forward_macaron")(
                     xn, deterministic
                 ),
                 deterministic=deterministic,
@@ -81,7 +83,7 @@ class ConformerEncoderLayer(nn.Module):
         attn_cls = (
             RelPositionMultiHeadAttention if self.selfattention_layer_type == "rel_selfattn" else MultiHeadAttention
         )
-        x_att, _ = attn_cls(self.attention_heads, self.size, key_bias=self.key_bias, name="self_attn")(
+        x_att, _ = attn_cls(self.attention_heads, self.size, key_bias=self.key_bias, dtype=self.dtype, name="self_attn")(
             xn, xn, xn, mask=att_mask, pos_emb=pos_emb
         )
         x = residual + drop(x_att, deterministic=deterministic)
@@ -97,7 +99,7 @@ class ConformerEncoderLayer(nn.Module):
         residual = x
         xn = nn.LayerNorm(epsilon=1e-12, name="norm_ff")(x)
         x = residual + ff_scale * drop(
-            PositionwiseFeedForward(self.linear_units, self.dropout_rate, self.activation, name="feed_forward")(
+            PositionwiseFeedForward(self.linear_units, self.dropout_rate, self.activation, self.dtype, name="feed_forward")(
                 xn, deterministic
             ),
             deterministic=deterministic,
@@ -224,6 +226,7 @@ class UpsampleConformerEncoder(nn.Module):
     static_chunk_size: int = 25
     pre_lookahead_len: int = 3
     up_stride: int = 2
+    dtype: object = None
 
     def setup(self):
         self.embed = LinearInputLayer(self.output_size, self.dropout_rate)
@@ -231,7 +234,8 @@ class UpsampleConformerEncoder(nn.Module):
         self.pre_lookahead_layer = PreLookaheadLayer(self.output_size, self.pre_lookahead_len)
         self.encoders = [
             ConformerEncoderLayer(
-                self.output_size, self.attention_heads, self.linear_units, self.dropout_rate, name=f"encoders_{i}"
+                self.output_size, self.attention_heads, self.linear_units, self.dropout_rate,
+                dtype=self.dtype, name=f"encoders_{i}"
             )
             for i in range(self.num_blocks)
         ]
@@ -240,7 +244,8 @@ class UpsampleConformerEncoder(nn.Module):
         self.up_pos_enc = EspnetRelPositionalEncoding(self.output_size)
         self.up_encoders = [
             ConformerEncoderLayer(
-                self.output_size, self.attention_heads, self.linear_units, self.dropout_rate, name=f"up_encoders_{i}"
+                self.output_size, self.attention_heads, self.linear_units, self.dropout_rate,
+                dtype=self.dtype, name=f"up_encoders_{i}"
             )
             for i in range(self.num_up_blocks)
         ]

@@ -31,7 +31,10 @@ def _conv1d(x, kernel, stride=1, dilation=1, groups=1, padding="VALID"):
 
 
 class Conv1d(nn.Module):
-    """Plain conv, torch-Conv1d compatible: symmetric zero pad `padding`."""
+    """Plain conv, torch-Conv1d compatible: symmetric zero pad `padding`.
+
+    `dtype` (optional) casts input+kernel for MXU-friendly bf16 compute while
+    params stay fp32."""
 
     features: int
     kernel_size: int
@@ -40,6 +43,7 @@ class Conv1d(nn.Module):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -48,11 +52,15 @@ class Conv1d(nn.Module):
             nn.initializers.lecun_normal(),
             (self.kernel_size, x.shape[-1] // self.groups, self.features),
         )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         if self.padding:
             x = jnp.pad(x, ((0, 0), (self.padding, self.padding), (0, 0)))
         y = _conv1d(x, kernel, self.stride, self.dilation, self.groups)
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + (bias.astype(self.dtype) if self.dtype is not None else bias)
         return y
 
 

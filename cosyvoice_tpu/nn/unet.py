@@ -13,6 +13,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cosyvoice_tpu.nn.activation import mish
 from cosyvoice_tpu.nn.conv import Conv1d, CausalConv1d, WNConvTranspose1d
@@ -92,20 +93,21 @@ class _UNetAttention(nn.Module):
 
     heads: int
     head_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, attn_bias=None):
         B, T, C = x.shape
         inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x).reshape(B, T, self.heads, self.head_dim)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(x).reshape(B, T, self.heads, self.head_dim)
-        v = nn.Dense(inner, use_bias=False, name="to_v")(x).reshape(B, T, self.heads, self.head_dim)
-        scores = jnp.einsum("bthd,bshd->bhts", q, k) / jnp.sqrt(self.head_dim).astype(x.dtype)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x).reshape(B, T, self.heads, self.head_dim)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x).reshape(B, T, self.heads, self.head_dim)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x).reshape(B, T, self.heads, self.head_dim)
+        scores = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) / np.sqrt(self.head_dim)
         if attn_bias is not None:
-            scores = scores + attn_bias[:, None, :, :]
-        attn = jax.nn.softmax(scores, axis=-1)
+            scores = scores + attn_bias[:, None, :, :].astype(jnp.float32)
+        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(B, T, inner)
-        return nn.Dense(C, name="to_out")(out)
+        return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -117,13 +119,14 @@ class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     ff_mult: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, attn_bias=None):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        x = x + _UNetAttention(self.num_heads, self.head_dim, name="attn1")(h, attn_bias)
+        x = x + _UNetAttention(self.num_heads, self.head_dim, dtype=self.dtype, name="attn1")(h, attn_bias).astype(x.dtype)
         h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
-        h = nn.Dense(x.shape[-1] * self.ff_mult, name="ff_in")(h)
+        h = nn.Dense(x.shape[-1] * self.ff_mult, dtype=self.dtype, name="ff_in")(h)
         h = jax.nn.gelu(h, approximate=False)
-        x = x + nn.Dense(x.shape[-1], name="ff_out")(h)
+        x = x + nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(h).astype(x.dtype)
         return x

@@ -36,10 +36,10 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None, tp: Opt
 _LM_RULES = [
     (r"embed_tokens.*embedding", P("tp", None)),
     (r"speech_embedding.*embedding", P("tp", None)),
-    (r"(q_proj|k_proj|v_proj|gate_proj|up_proj).*kernel", P(None, "tp")),
+    (r"(qkv_proj|q_proj|k_proj|v_proj|gate_up_proj|gate_proj|up_proj).*kernel", P(None, "tp")),
     (r"(o_proj|down_proj).*kernel", P("tp", None)),
     (r"llm_decoder.*kernel", P(None, "tp")),
-    (r"(q_proj|k_proj|v_proj|gate_proj|up_proj).*bias", P("tp")),
+    (r"(qkv_proj|q_proj|k_proj|v_proj|gate_up_proj|gate_proj|up_proj).*bias", P("tp")),
     (r"llm_decoder.*bias", P("tp")),
 ]
 

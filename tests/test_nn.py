@@ -161,12 +161,18 @@ class TestConformer:
         )
         rng = np.random.default_rng(0)
         tok = jnp.asarray(rng.standard_normal((1, 13, 32)).astype(np.float32))
-        params = enc.init(K(0), tok[:, :5], jnp.asarray([5]), tok[:, 5:8], True)
 
+        def body(n, pad):
+            """zero-tail-padded body of n frames (context scatters at n)."""
+            b = np.zeros((1, n + pad, 32), np.float32)
+            b[:, :n] = np.asarray(tok[:, :n])
+            return jnp.asarray(b)
+
+        params = enc.init(K(0), body(5, 4), jnp.asarray([5]), tok[:, 5:8], True)
         # chunk 1 with lookahead context (tokens 5..7)
-        y1, _ = enc.apply(params, tok[:, :5], jnp.asarray([5]), tok[:, 5:8], True)
+        y1, _ = enc.apply(params, body(5, 4), jnp.asarray([5]), tok[:, 5:8], True)
         # two chunks with context (tokens 10..12)
-        y2, _ = enc.apply(params, tok[:, :10], jnp.asarray([10]), tok[:, 10:13], True)
+        y2, _ = enc.apply(params, body(10, 4), jnp.asarray([10]), tok[:, 10:13], True)
         np.testing.assert_allclose(np.asarray(y1[:, :10]), np.asarray(y2[:, :10]), atol=2e-5)
 
 
