@@ -85,15 +85,14 @@ class Qwen2Attention(nn.Module):
             k_all, v_all = k, v
             new_cache = None
 
-        # GQA: repeat kv heads
+        # GQA via grouped einsum — never materializes the head-repeated KV
+        # (a 7x HBM blowup per decode step with repeat)
         rep = c.num_heads // c.num_kv_heads
-        k_all = jnp.repeat(k_all, rep, axis=2)
-        v_all = jnp.repeat(v_all, rep, axis=2)
-
-        scores = jnp.einsum("bshd,bthd->bhst", q, k_all).astype(jnp.float32) / np.sqrt(c.head_dim)
-        scores = scores + mask_bias
-        attn = jax.nn.softmax(scores, axis=-1).astype(c.dtype)
-        out = jnp.einsum("bhst,bthd->bshd", attn, v_all).reshape(B, S, c.num_heads * c.head_dim)
+        qg = q.reshape(B, S, c.num_kv_heads, rep, c.head_dim)
+        scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k_all).astype(jnp.float32) / np.sqrt(c.head_dim)
+        scores = scores + mask_bias[:, None]  # bias [B,1,S,T] -> [B,1,1,S,T]
+        attn = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+        out = jnp.einsum("bgrst,btgd->bsgrd", attn, v_all).reshape(B, S, c.num_heads * c.head_dim)
         out = nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="o_proj")(out)
         return out, new_cache
 

@@ -1,0 +1,204 @@
+import os
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, TYPE_SPECIAL, TYPE_SPEECH, TYPE_TEXT
+from cosyvoice_tpu.models.qwen2 import Qwen2Config
+from cosyvoice_tpu.train.lm_data import build_lm_sample, collate_lm_batch, dpo_loss, sequence_logps
+from cosyvoice_tpu.train.losses import IGNORE_ID, lm_ce_loss
+from cosyvoice_tpu.train.schedulers import get_scheduler
+from cosyvoice_tpu.train.trainer import make_lm_train_step, make_optimizer
+
+K = jax.random.PRNGKey
+
+
+def tiny_lm():
+    return Qwen2LM(
+        LMConfig(
+            speech_token_size=20,
+            qwen=Qwen2Config(
+                hidden_size=32, num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+                intermediate_size=64, vocab_size=100, max_cache_len=128, dtype=jnp.float32,
+            ),
+        )
+    )
+
+
+class TestLMData:
+    def test_unistream_layout(self):
+        cfg = LMConfig(speech_token_size=20)
+        rng = random.Random(1)  # .random() > 0.5 first draw -> unistream
+
+        class NoBi(random.Random):
+            def random(self):
+                return 0.9
+
+        text = np.arange(5)
+        speech = np.arange(10)
+        ids, types, tgt = build_lm_sample(cfg, text, speech, rng=NoBi())
+        assert len(ids) == 1 + 5 + 1 + 10
+        assert types[0] == TYPE_SPECIAL and ids[0] == cfg.sos_id
+        assert (tgt[: 1 + 5] == IGNORE_ID).all()
+        assert tgt[6] == speech[0]  # task position predicts first speech token
+        assert tgt[-1] == cfg.eos_token
+
+    def test_bistream_layout(self):
+        cfg = LMConfig(speech_token_size=100)
+
+        class Bi(random.Random):
+            def random(self):
+                return 0.1
+
+        text = np.arange(5)
+        speech = np.arange(40)  # 40/5 = 8 > 15/5 = 3 -> eligible
+        ids, types, tgt = build_lm_sample(cfg, text, speech, rng=Bi())
+        # first block: sos + 5 text + 15 speech
+        assert (types[1:6] == TYPE_TEXT).all()
+        assert (types[6:21] == TYPE_SPEECH).all()
+        assert tgt[5 + 15] == cfg.fill_token  # block end target is fill
+        assert tgt[-1] == cfg.eos_token
+
+    def test_collate_shapes(self):
+        cfg = LMConfig(speech_token_size=20)
+        batch = {
+            "text_token": np.ones((2, 6), np.int32),
+            "text_token_len": np.asarray([6, 4], np.int32),
+            "speech_token": np.ones((2, 12), np.int32),
+            "speech_token_len": np.asarray([12, 8], np.int32),
+        }
+        out = collate_lm_batch(cfg, batch, rng=random.Random(0))
+        assert out["ids"].shape == out["targets"].shape == out["types"].shape
+        assert out["ids"].shape[1] % 8 == 0
+        assert (out["lengths"] > 0).all()
+
+
+class TestTrainStep:
+    def test_lm_train_step_reduces_loss(self):
+        lm = tiny_lm()
+        params = lm.init(K(0))
+        opt = make_optimizer(lr=1e-2, scheduler="constantlr")
+        opt_state = opt.init(params)
+        step = make_lm_train_step(lm.module, opt)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 20, (1, 2, 16)).astype(np.int32)
+        types = np.full((1, 2, 16), TYPE_SPEECH, np.int32)
+        targets = rng.integers(0, 20, (1, 2, 16)).astype(np.int32)
+        lengths = np.full((1, 2), 16, np.int32)
+        batch = {"ids": jnp.asarray(ids), "types": jnp.asarray(types), "targets": jnp.asarray(targets), "lengths": jnp.asarray(lengths)}
+        losses = []
+        for i in range(8):
+            params, opt_state, metrics = step(params, opt_state, batch, jnp.asarray(i))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_ce_loss_matches_torch(self):
+        import torch
+
+        rng = np.random.default_rng(0)
+        logits = rng.standard_normal((2, 7, 11)).astype(np.float32)
+        targets = rng.integers(0, 11, (2, 7))
+        targets[0, :3] = IGNORE_ID
+        ours, acc = lm_ce_loss(jnp.asarray(logits), jnp.asarray(targets))
+        theirs = torch.nn.functional.cross_entropy(
+            torch.from_numpy(logits).reshape(-1, 11), torch.from_numpy(targets).reshape(-1),
+            ignore_index=IGNORE_ID,
+        )
+        np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+    def test_schedulers(self):
+        w = get_scheduler("warmuplr", 1e-3, warmup_steps=100)
+        assert w(50) < w(100)
+        assert w(100) > w(400)
+        c = get_scheduler("constantlr", 1e-4)
+        assert c(1) == c(1000) == 1e-4
+        n = get_scheduler("NoamHoldAnnealing", 1e-3, warmup_steps=10, hold_steps=10)
+        assert n(5) < n(10) and abs(n(15) - 1e-3) < 1e-9 and n(100) < 1e-3
+
+
+class TestDPO:
+    def test_dpo_loss_direction(self):
+        better = dpo_loss(jnp.asarray([0.0]), jnp.asarray([-2.0]), jnp.asarray([0.0]), jnp.asarray([0.0]))
+        worse = dpo_loss(jnp.asarray([-2.0]), jnp.asarray([0.0]), jnp.asarray([0.0]), jnp.asarray([0.0]))
+        assert float(better) < float(worse)
+
+    def test_sequence_logps(self):
+        logits = jnp.zeros((1, 4, 5))
+        targets = jnp.asarray([[1, 2, IGNORE_ID, IGNORE_ID]])
+        lp = sequence_logps(logits, targets)
+        np.testing.assert_allclose(float(lp[0]), np.log(1 / 5), rtol=1e-5)
+
+
+class TestGAN:
+    def test_gan_steps_run(self):
+        from cosyvoice_tpu.models.discriminator import MultipleDiscriminator
+        from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+        from cosyvoice_tpu.train.gan import GanLossConfig, make_gan_train_steps
+
+        hift = HiFTGenerator(
+            HiFTConfig(
+                base_channels=32, resblock_kernel_sizes=(3,), resblock_dilations=((1,),),
+                source_resblock_kernel_sizes=(7, 7, 11), source_resblock_dilations=((1,), (1,), (1,)),
+            )
+        )
+        disc = MultipleDiscriminator()
+        mel = jnp.asarray(np.random.default_rng(0).standard_normal((1, 6, 80)), jnp.float32)
+        wav = jnp.asarray(np.random.default_rng(1).standard_normal((1, 6 * 480)) * 0.1, jnp.float32)
+        gen_params = hift.init(K(0), mel, K(1))
+        disc_params = disc.init(K(2), wav)
+        g_opt = optax.adam(2e-4)
+        d_opt = optax.adam(2e-4)
+        gen_step, disc_step = make_gan_train_steps(hift, disc, g_opt, d_opt)
+        batch = {"speech": wav, "speech_feat": mel, "pitch_feat": jnp.abs(wav[:, : 6 * 480 : 480]) * 100}
+        gp, gos, gm = gen_step(gen_params, g_opt.init(gen_params), disc_params, batch, K(3))
+        dp, dos, dm = disc_step(disc_params, d_opt.init(disc_params), gp, batch, K(4))
+        assert np.isfinite(float(gm["loss"])) and np.isfinite(float(dm["loss"]))
+
+
+class TestDataPipeline:
+    def test_processors_end_to_end(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from functools import partial
+
+        from cosyvoice_tpu.data import processor as P
+        from cosyvoice_tpu.data.dataset import Dataset
+        from cosyvoice_tpu.frontend.tokenizer import ByteFallbackTokenizer
+
+        rng = np.random.default_rng(0)
+        rows = {
+            "utt": [f"u{i}" for i in range(4)],
+            "text": ["hello world"] * 4,
+            "audio": [rng.standard_normal(24000).astype(np.float32) * 0.1 for _ in range(4)],
+            "sample_rate": [24000] * 4,
+            "utt_embedding": [rng.standard_normal(192).astype(np.float32) for _ in range(4)],
+            "speech_token": [rng.integers(0, 6561, 25) for _ in range(4)],
+        }
+        path = tmp_path / "shard0.parquet"
+        pq.write_table(pa.table({k: list(v) for k, v in rows.items()}), path)
+        listfile = tmp_path / "data.list"
+        listfile.write_text(str(path) + "\n")
+
+        tok = ByteFallbackTokenizer()
+        pipeline = [
+            P.parquet_opener,
+            partial(P.tokenize, tokenizer=tok),
+            partial(P.filter_samples, max_length=6000, min_length=10),
+            partial(P.resample, resample_rate=24000),
+            partial(P.compute_fbank),
+            partial(P.parse_embedding),
+            partial(P.shuffle, shuffle_size=10),
+            partial(P.sort_by_len, sort_size=4),
+            partial(P.batch, batch_type="dynamic", max_frames_in_batch=200),
+            P.padding,
+        ]
+        ds = Dataset(str(listfile), pipeline)
+        batches = list(iter(ds))
+        assert len(batches) >= 1
+        b = batches[0]
+        assert b["speech_feat"].ndim == 3 and b["speech_feat"].shape[-1] == 80
+        assert b["speech_token"].shape[0] == b["embedding"].shape[0]
