@@ -43,8 +43,10 @@ def main():
     n_tokens = 125  # 5 s of audio at 25 Hz
     audio_seconds = n_tokens / 25.0
 
+    from cosyvoice_tpu.models.flow_decoder import EstimatorConfig
+
     lm = Qwen2LM(LMConfig(block_size=125))
-    flow = CausalFlow(FlowConfig())
+    flow = CausalFlow(FlowConfig(dtype=jnp.bfloat16, estimator=EstimatorConfig(dtype=jnp.bfloat16)))
     hift = HiFTGenerator(HiFTConfig())
 
     t0 = time.time()
@@ -58,7 +60,7 @@ def main():
     jax.block_until_ready((lm_params, flow_params, hift_params))
     init_s = time.time() - t0
 
-    engine = CosyVoice2Engine(lm, flow, hift, lm_params, flow_params, hift_params)
+    engine = CosyVoice2Engine(lm, flow, hift, lm_params, flow_params, hift_params, token_bucket=32)
 
     # ---- offline path, decomposed for timing ----
     text_len = 30

@@ -118,6 +118,13 @@ class Qwen2LMModule(nn.Module):
         hidden, cache = self.llm.decode_step(emb, cur_len, cache)
         return self.llm_decoder(hidden).astype(jnp.float32), cache
 
+    def extend_mixed(self, ids, types, start, cache):
+        """Append an exact-shape mixed segment (bistream). Returns (logits
+        of the last position, cache)."""
+        embeds = self.embed_input(ids, types)
+        hidden_last, cache = self.llm.extend(embeds, start, cache)
+        return self.llm_decoder(hidden_last).astype(jnp.float32), cache
+
 
 class Qwen2LM:
     """Functional orchestrator: jitted prefill + blockwise decode."""
@@ -128,7 +135,13 @@ class Qwen2LM:
         self._jit_prefill = jax.jit(
             lambda p, ids, types, tl, cache: self.module.apply(p, ids, types, tl, cache, method="prefill")
         )
-        self._jit_decode_block = jax.jit(self._decode_block_impl, static_argnames=("block_size",), donate_argnums=(2,))
+        self._jit_decode_block = jax.jit(
+            self._decode_block_impl, static_argnames=("block_size", "bistream"), donate_argnums=(2,)
+        )
+        self._jit_extend = jax.jit(
+            lambda p, ids, types, start, cache: self.module.apply(p, ids, types, start, cache, method="extend_mixed"),
+            donate_argnums=(4,),
+        )
 
     def init(self, rng: jax.Array) -> dict:
         ids = jnp.zeros((1, 8), jnp.int32)
@@ -153,6 +166,7 @@ class Qwen2LM:
         min_len,          # [B]
         finished,         # [B] bool
         block_size: int,
+        bistream: bool = False,
     ):
         """Decode up to block_size tokens fully on device.
 
@@ -164,16 +178,23 @@ class Qwen2LM:
 
         def sample(rng_k, logits, n_dec, rec):
             logp = jax.nn.log_softmax(logits, axis=-1)
-            # suppress stop ids before min_len. The reference masks only eos
-            # (llm.py:150-160 ignore_eos) and breaks on any stop id; masking
-            # the whole stop range matches the TRT-LLM serving min_tokens
-            # semantics (runtime/triton_trtllm) and is robust for v3's 200
-            # stop rows.
-            logp = jnp.where(
-                (jnp.arange(c.head_size)[None, :] >= c.speech_token_size) & (n_dec < min_len)[:, None],
-                -1.0e30,
-                logp,
-            )
+            if bistream:
+                # bistream inner loop (llm.py:620-641): the fill token is a
+                # legal handoff, every other stop id is suppressed.
+                bad = (jnp.arange(c.head_size) >= c.speech_token_size) & (
+                    jnp.arange(c.head_size) != c.fill_token
+                )
+                logp = jnp.where(bad[None, :], -1.0e30, logp)
+            else:
+                # suppress stop ids before min_len. The reference masks only
+                # eos (llm.py:150-160 ignore_eos) and breaks on any stop id;
+                # masking the whole stop range matches the TRT-LLM serving
+                # min_tokens semantics and is robust for v3's 200 stop rows.
+                logp = jnp.where(
+                    (jnp.arange(c.head_size)[None, :] >= c.speech_token_size) & (n_dec < min_len)[:, None],
+                    -1.0e30,
+                    logp,
+                )
             toks = []
             for b in range(logits.shape[0]):
                 toks.append(
@@ -243,6 +264,124 @@ class Qwen2LM:
             rng, k = jax.random.split(rng)
             tokens, logits, cache, cur_len, recent, n_decoded, finished = self._jit_decode_block(
                 params, k, cache, cur_len, logits, recent, n_decoded, min_l, finished, block_size
+            )
+            toks = np.asarray(tokens[0])
+            stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
+            if len(stop_idx):
+                toks = toks[: stop_idx[0]]
+            toks = toks[: max_len - produced]
+            produced += len(toks)
+            if len(toks):
+                yield toks
+
+    # ---------------- bistream (streaming text input) ----------------
+    def generate_bistream(
+        self,
+        params: dict,
+        text_stream,              # iterator of np.int32 arrays (text token chunks)
+        prompt_text: np.ndarray,  # [Lpt]
+        prompt_speech: np.ndarray,  # [Lps]
+        rng: jax.Array,
+        max_len: int = 4096,
+    ):
+        """Bi-streaming decode (reference llm.py:551-661): text arrives in
+        chunks; 5-text/15-speech blocks interleave with fill-token handoffs;
+        after text exhausts, [remaining text][task] is fed and decoding runs
+        to eos. Yields np.int32 speech-token arrays.
+
+        TPU design: exact-shape `extend` calls append segments into the KV
+        arena; speech decoding runs in on-device blocks sized to the next
+        fill-cadence point. Sampled (or cadence-forced) fill tokens are
+        recorded but never fed — the next text segment overwrites their arena
+        slot, matching the reference's `lm_input = lm_input_text` handoff.
+        """
+        c = self.cfg
+        mt, ms = c.mix_ratio
+
+        cache = self.init_cache(1)
+        cur = jnp.asarray([0])
+        logits = None
+        recent = jnp.full((1, c.win_size), -1, jnp.int32)
+        n_decoded = jnp.zeros((1,), jnp.int32)
+        out_count = 0          # decoded tokens including fills (ref out_tokens)
+        produced = 0           # yielded speech tokens
+        # forced-fill cadence: out index at which a fill must be emitted
+        next_fill = (len(prompt_speech) // ms + 1) * ms - len(prompt_speech)
+        need_text = True       # a fill (or start) demands a text segment next
+
+        def feed(ids, types):
+            nonlocal cache, cur, logits
+            ids_a = np.asarray(ids, np.int32)[None]
+            types_a = np.asarray(types, np.int32)[None]
+            logits, cache = self._jit_extend(params, jnp.asarray(ids_a), jnp.asarray(types_a), cur, cache)
+            cur = cur + ids_a.shape[1]
+
+        feed([c.sos_id], [TYPE_SPECIAL])
+        text_cache = list(np.asarray(prompt_text, np.int32))
+        speech_q = list(np.asarray(prompt_speech, np.int32))
+
+        def decode_span():
+            """Decode until the next fill (sampled or forced). Yields arrays;
+            returns with the fill recorded in out_count."""
+            nonlocal cache, cur, logits, recent, n_decoded, out_count, produced, next_fill
+            while True:
+                steps = max(1, next_fill - out_count)
+                rng_k = jax.random.fold_in(rng, 7919 + out_count)
+                fin0 = jnp.zeros((1,), bool)
+                tokens, logits, cache, cur, recent, n_decoded, fin = self._jit_decode_block(
+                    params, rng_k, cache, cur, logits, recent, n_decoded,
+                    jnp.asarray([0], jnp.int32), fin0, steps, True,
+                )
+                toks = np.asarray(tokens[0])
+                stop = np.nonzero(toks >= c.speech_token_size)[0]
+                if len(stop):
+                    emit = toks[: stop[0]]
+                    out_count += len(emit)
+                    produced += len(emit)
+                    if len(emit):
+                        yield emit
+                    next_fill = out_count + ms + 1  # llm.py:632
+                    out_count += 1  # the sampled fill
+                    return
+                out_count += len(toks)
+                produced += len(toks)
+                if len(toks):
+                    yield toks
+                if out_count >= next_fill:
+                    # cadence-forced fill (llm.py:626-628)
+                    next_fill = out_count + ms + 1
+                    out_count += 1
+                    return
+
+        for this_text in text_stream:
+            text_cache.extend(np.asarray(this_text, np.int32).tolist())
+            # interleave remaining prompt speech (llm.py:596-604)
+            while len(speech_q) > 0 and len(text_cache) >= mt:
+                feed(text_cache[:mt], [TYPE_TEXT] * mt)
+                n_sp = min(ms, len(speech_q))
+                feed(speech_q[:n_sp], [TYPE_SPEECH] * n_sp)
+                text_cache, speech_q = text_cache[mt:], speech_q[n_sp:]
+                need_text = True
+            if len(speech_q) > 0:
+                continue
+            while len(text_cache) >= mt:
+                if need_text:
+                    feed(text_cache[:mt], [TYPE_TEXT] * mt)
+                    text_cache = text_cache[mt:]
+                    need_text = False
+                yield from decode_span()
+                need_text = True
+                if produced >= max_len:
+                    return
+
+        # ---- final drain: [remaining text][task], decode to eos ----
+        feed(text_cache + [c.task_id], [TYPE_TEXT] * len(text_cache) + [TYPE_SPECIAL])
+        finished = jnp.zeros((1,), bool)
+        while produced < max_len and not bool(finished[0]):
+            rng, k = jax.random.split(rng)
+            tokens, logits, cache, cur, recent, n_decoded, finished = self._jit_decode_block(
+                params, k, cache, cur, logits, recent, n_decoded,
+                jnp.asarray([0], jnp.int32), finished, self.cfg.block_size, False,
             )
             toks = np.asarray(tokens[0])
             stop_idx = np.nonzero(toks >= c.speech_token_size)[0]

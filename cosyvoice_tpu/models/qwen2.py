@@ -182,6 +182,31 @@ class Qwen2Model(nn.Module):
         v_stack = jnp.stack([vc for _, vc in new_cache])
         return hidden_last, (k_stack, v_stack)
 
+    def extend(self, embeds, start, cache):
+        """Append a fully-valid segment at position `start` (bistream feeds:
+        text blocks, task id, prompt-speech blocks — llm.py:593-644).
+
+        embeds: [B, S, C] exact-shape segment; start: [B] current length.
+        Returns (hidden_last [B, C], cache)."""
+        B, S, _ = embeds.shape
+        c = self.cfg
+        rc, rs = self._rope()
+        cos = jax.lax.dynamic_slice_in_dim(rc, start[0], S, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(rs, start[0], S, axis=0)
+        kpos = jnp.arange(c.max_cache_len)
+        qpos = start[:, None] + jnp.arange(S)[None, :]  # [B, S] global positions
+        visible = kpos[None, None, :] <= qpos[:, :, None]  # [B, S, K]
+        bias = jnp.where(visible, 0.0, -1e30).astype(jnp.float32)[:, None, :, :]
+        x = embeds.astype(c.dtype)
+        new_cache = []
+        for i, layer in enumerate(self.layers):
+            x, layer_cache = layer(x, cos, sin, bias, start[0], (cache[0][i], cache[1][i]))
+            new_cache.append(layer_cache)
+        x = self.norm(x)
+        k_stack = jnp.stack([kc for kc, _ in new_cache])
+        v_stack = jnp.stack([vc for _, vc in new_cache])
+        return x[:, -1], (k_stack, v_stack)
+
     def decode_step(self, emb, cur_len, cache):
         """One-token step. emb: [B, 1, C]; cur_len: [B] current sequence
         lengths (kv write position). Returns (hidden [B, C], cache)."""

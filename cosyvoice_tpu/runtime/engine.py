@@ -208,7 +208,21 @@ class CosyVoice2Engine:
         state = SessionState()
         la = self.pre_lookahead_len
 
-        if source_speech_token is None:  # noqa: SIM108
+        if source_speech_token is not None:
+            token_gen = iter([np.asarray(source_speech_token, np.int32)])
+        elif hasattr(text_tokens, "__next__"):
+            # bi-streaming text input (reference cli/model.py:104-111)
+            rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
+            token_gen = self._squelch(
+                self.lm.generate_bistream(
+                    self.lm_params,
+                    text_tokens,
+                    prompt_text_tokens.astype(np.int32),
+                    llm_prompt_speech_token.astype(np.int32),
+                    rng,
+                )
+            )
+        else:
             # LM prompt: [sos, prompt_text, text, task, prompt_speech]
             text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)
             ids = np.concatenate(
@@ -226,8 +240,6 @@ class CosyVoice2Engine:
             max_len = int(len(text_tokens) * 20)
             rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
             token_gen = self._squelch(self.lm.generate(self.lm_params, ids, types, rng, min_len, max_len))
-        else:
-            token_gen = iter([np.asarray(source_speech_token, np.int32)])
 
         produced: list = []
 

@@ -95,3 +95,45 @@ class TestQwen2LM:
             out.extend(block.tolist())
         assert 0 < len(out) <= 12
         assert all(0 <= t < 20 for t in out)
+
+
+class TestBistream:
+    def test_bistream_generation(self, lm):
+        """Streaming text input: interleaved feeds + fill handoffs produce
+        valid speech tokens and terminate after the final drain."""
+        model, params = lm
+        rng = np.random.default_rng(0)
+
+        def text_stream():
+            for _ in range(3):
+                yield rng.integers(0, 20, 4).astype(np.int32)
+
+        prompt_text = rng.integers(0, 20, 3).astype(np.int32)
+        prompt_speech = rng.integers(0, 20, 7).astype(np.int32)
+        out = []
+        for block in model.generate_bistream(
+            params, text_stream(), prompt_text, prompt_speech, K(5), max_len=60
+        ):
+            out.extend(block.tolist())
+        assert len(out) > 0
+        assert all(0 <= t < 20 for t in out)
+
+    def test_extend_matches_prefill(self, lm):
+        """Incremental mixed-segment extend == one-shot prefill logits."""
+        model, params = lm
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, 20, 10).astype(np.int32)
+        types = np.full(10, TYPE_SPEECH, np.int32)
+
+        cache = model.init_cache(1)
+        l_ref, _ = model.module.apply(
+            params, jnp.asarray(ids[None]), jnp.asarray(types[None]), jnp.asarray([10]), cache, method="prefill"
+        )
+        cache2 = model.init_cache(1)
+        cur = jnp.asarray([0])
+        for seg in (slice(0, 4), slice(4, 7), slice(7, 10)):
+            l_inc, cache2 = model.module.apply(
+                params, jnp.asarray(ids[None, seg]), jnp.asarray(types[None, seg]), cur, cache2, method="extend_mixed"
+            )
+            cur = cur + (seg.stop - seg.start)
+        np.testing.assert_allclose(np.asarray(l_inc), np.asarray(l_ref), atol=2e-4)
