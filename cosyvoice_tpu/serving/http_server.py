@@ -1,0 +1,144 @@
+"""HTTP serving (behavioral port of runtime/python/fastapi/server.py:40-95).
+
+Endpoints (same names as the reference):
+  /inference_sft, /inference_zero_shot, /inference_cross_lingual,
+  /inference_instruct, /inference_instruct2
+each streaming raw int16 PCM chunks.
+
+When `fastapi`+`uvicorn` are installed the FastAPI app is used verbatim;
+otherwise a dependency-free stdlib http.server fallback serves the same
+endpoints with JSON bodies ({"tts_text": ..., "prompt_text": ...,
+"prompt_audio_b64": <base64 int16 pcm @16k>}) and chunked transfer encoding.
+"""
+
+import base64
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _pcm(wav: np.ndarray) -> bytes:
+    return (np.clip(wav, -1, 1) * 32767).astype(np.int16).tobytes()
+
+
+def _wav_from_b64(b64: str) -> np.ndarray:
+    raw = base64.b64decode(b64)
+    return (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
+
+
+def _dispatch(model, endpoint: str, body: dict):
+    if endpoint == "inference_sft":
+        return model.inference_sft(body["tts_text"], body["spk_id"])
+    if endpoint == "inference_zero_shot":
+        return model.inference_zero_shot(
+            body["tts_text"], body.get("prompt_text", ""), _wav_from_b64(body["prompt_audio_b64"])
+        )
+    if endpoint == "inference_cross_lingual":
+        return model.inference_cross_lingual(body["tts_text"], _wav_from_b64(body["prompt_audio_b64"]))
+    if endpoint == "inference_instruct":
+        return model.inference_instruct(body["tts_text"], body["spk_id"], body["instruct_text"])
+    if endpoint == "inference_instruct2":
+        return model.inference_instruct2(
+            body["tts_text"], body["instruct_text"], _wav_from_b64(body["prompt_audio_b64"])
+        )
+    raise KeyError(endpoint)
+
+
+def make_stdlib_server(model, host: str = "0.0.0.0", port: int = 50000) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            endpoint = self.path.strip("/")
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                gen = _dispatch(model, endpoint, body)
+            except Exception as e:  # noqa: BLE001
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(str(e).encode())
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            for out in gen:
+                chunk = _pcm(out["tts_speech"])
+                self.wfile.write(f"{len(chunk):x}\r\n".encode())
+                self.wfile.write(chunk)
+                self.wfile.write(b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        def log_message(self, fmt, *args):
+            logging.info("http: " + fmt, *args)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def make_fastapi_app(model):
+    from fastapi import FastAPI, Form, UploadFile
+    from fastapi.responses import StreamingResponse
+
+    app = FastAPI()
+
+    def stream(gen):
+        def body():
+            for out in gen:
+                yield _pcm(out["tts_speech"])
+
+        return StreamingResponse(body())
+
+    @app.post("/inference_zero_shot")
+    async def zero_shot(tts_text: str = Form(), prompt_text: str = Form(), prompt_wav: UploadFile = None):
+        raw = await prompt_wav.read()
+        wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
+        return stream(model.inference_zero_shot(tts_text, prompt_text, wav))
+
+    @app.post("/inference_cross_lingual")
+    async def cross_lingual(tts_text: str = Form(), prompt_wav: UploadFile = None):
+        raw = await prompt_wav.read()
+        wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
+        return stream(model.inference_cross_lingual(tts_text, wav))
+
+    @app.post("/inference_sft")
+    async def sft(tts_text: str = Form(), spk_id: str = Form()):
+        return stream(model.inference_sft(tts_text, spk_id))
+
+    @app.post("/inference_instruct")
+    async def instruct(tts_text: str = Form(), spk_id: str = Form(), instruct_text: str = Form()):
+        return stream(model.inference_instruct(tts_text, spk_id, instruct_text))
+
+    @app.post("/inference_instruct2")
+    async def instruct2(tts_text: str = Form(), instruct_text: str = Form(), prompt_wav: UploadFile = None):
+        raw = await prompt_wav.read()
+        wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
+        return stream(model.inference_instruct2(tts_text, instruct_text, wav))
+
+    return app
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", type=int, default=50000)
+    parser.add_argument("--model_dir", type=str, default="")
+    args = parser.parse_args()
+
+    from cosyvoice_tpu.runtime.api import AutoModel
+
+    model = AutoModel(args.model_dir)
+    try:
+        import uvicorn
+
+        uvicorn.run(make_fastapi_app(model), host="0.0.0.0", port=args.port)
+    except ImportError:
+        logging.info("fastapi/uvicorn unavailable; stdlib http server on :%d", args.port)
+        make_stdlib_server(model, port=args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

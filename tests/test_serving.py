@@ -1,0 +1,92 @@
+import base64
+import http.client
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+class FakeModel:
+    """Serving plumbing test double: yields two fixed chunks per request."""
+
+    sample_rate = 24000
+
+    def _gen(self):
+        yield {"tts_speech": np.full((1, 1000), 0.1, np.float32)}
+        yield {"tts_speech": np.full((1, 500), -0.1, np.float32)}
+
+    def inference_zero_shot(self, tts_text, prompt_text, prompt_wav, **kw):
+        assert isinstance(tts_text, str)
+        return self._gen()
+
+    def inference_cross_lingual(self, tts_text, prompt_wav, **kw):
+        return self._gen()
+
+    def inference_sft(self, tts_text, spk_id, **kw):
+        return self._gen()
+
+    def inference_instruct(self, tts_text, spk_id, instruct_text, **kw):
+        return self._gen()
+
+    def inference_instruct2(self, tts_text, instruct_text, prompt_wav, **kw):
+        return self._gen()
+
+
+@pytest.fixture(scope="module")
+def http_srv():
+    from cosyvoice_tpu.serving.http_server import make_stdlib_server
+
+    srv = make_stdlib_server(FakeModel(), host="127.0.0.1", port=50911)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def grpc_srv():
+    from cosyvoice_tpu.serving.grpc_server import make_server
+
+    srv = make_server(FakeModel(), port=50912)
+    srv.start()
+    yield srv
+    srv.stop(0)
+
+
+class TestHTTPServing:
+    def test_zero_shot_stream(self, http_srv):
+        prompt = base64.b64encode(np.zeros(1600, np.int16).tobytes()).decode()
+        conn = http.client.HTTPConnection("127.0.0.1", 50911)
+        conn.request(
+            "POST", "/inference_zero_shot",
+            json.dumps({"tts_text": "hi", "prompt_text": "p", "prompt_audio_b64": prompt}),
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        pcm = np.frombuffer(resp.read(), np.int16)
+        assert len(pcm) == 1500
+        assert pcm[0] > 3000  # 0.1 * 32767
+
+    def test_bad_endpoint(self, http_srv):
+        conn = http.client.HTTPConnection("127.0.0.1", 50911)
+        conn.request("POST", "/nope", "{}")
+        assert conn.getresponse().status == 400
+
+
+class TestGRPCServing:
+    def test_inference_stream(self, grpc_srv):
+        from cosyvoice_tpu.serving.grpc_client import inference
+
+        pcm = inference(
+            "127.0.0.1", 50912, "zero_shot",
+            tts_text="hi", prompt_text="p", prompt_audio=np.zeros(1600, np.int16).tobytes(),
+        )
+        assert len(pcm) == 1500
+
+    def test_sft_mode(self, grpc_srv):
+        from cosyvoice_tpu.serving.grpc_client import inference
+
+        pcm = inference("127.0.0.1", 50912, "sft", tts_text="hi", spk_id="s1")
+        assert len(pcm) == 1500
