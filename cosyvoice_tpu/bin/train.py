@@ -1,0 +1,162 @@
+"""Training entry point (replaces cosyvoice/bin/train.py:40-195).
+
+Single- or multi-host JAX training of one sub-model (llm | flow | hifigan).
+Multi-host: jax.distributed.initialize (torchrun/NCCL equivalent); data is
+sharded by (process_index, process_count) with dropped ragged tails so no
+join barrier is needed (SURVEY §5.8).
+
+Usage:
+  python -m cosyvoice_tpu.bin.train --model llm --train_data data.list \
+      --model_dir exp/llm [--checkpoint ckpt.msgpack] [--config config.json]
+"""
+
+import argparse
+import json
+import logging
+import random
+from functools import partial
+
+import jax
+import numpy as np
+
+
+def build_pipeline(args, tokenizer, gan: bool = False):
+    from cosyvoice_tpu.data import processor as P
+
+    pipe = [
+        P.parquet_opener,
+        partial(P.tokenize, tokenizer=tokenizer),
+        partial(P.filter_samples, max_length=args.max_length, token_max_length=200),
+        partial(P.resample, resample_rate=args.sample_rate),
+    ]
+    if gan:
+        pipe.append(partial(P.truncate, truncate_length=24480))
+    pipe += [
+        partial(P.compute_fbank, sample_rate=args.sample_rate, hop=args.mel_hop),
+    ]
+    if gan:
+        pipe.append(partial(P.compute_f0, sample_rate=args.sample_rate, hop_size=args.mel_hop))
+    pipe += [
+        partial(P.parse_embedding),
+        partial(P.shuffle, shuffle_size=1000),
+        partial(P.sort_by_len, sort_size=500),
+        partial(P.batch, batch_type=args.batch_type, batch_size=args.batch_size,
+                max_frames_in_batch=args.max_frames_in_batch),
+        partial(P.padding, gan=gan, dpo=args.dpo),
+    ]
+    return pipe
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=True, choices=["llm", "flow", "hifigan"])
+    parser.add_argument("--train_data", required=True)
+    parser.add_argument("--cv_data", default="")
+    parser.add_argument("--model_dir", required=True)
+    parser.add_argument("--checkpoint", default="")
+    parser.add_argument("--tokenizer_path", default="")
+    parser.add_argument("--sample_rate", type=int, default=24000)
+    parser.add_argument("--mel_hop", type=int, default=480)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--scheduler", default="warmuplr")
+    parser.add_argument("--warmup_steps", type=int, default=2500)
+    parser.add_argument("--grad_clip", type=float, default=5.0)
+    parser.add_argument("--accum_grad", type=int, default=2)
+    parser.add_argument("--max_epoch", type=int, default=200)
+    parser.add_argument("--max_length", type=int, default=40960)
+    parser.add_argument("--batch_type", default="dynamic")
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--max_frames_in_batch", type=int, default=2000)
+    parser.add_argument("--log_interval", type=int, default=100)
+    parser.add_argument("--save_per_step", type=int, default=-1)
+    parser.add_argument("--dpo", action="store_true")
+    parser.add_argument("--seed", type=int, default=1986)
+    parser.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    if args.multihost:
+        jax.distributed.initialize()
+    rank, world = jax.process_index(), jax.process_count()
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    import optax
+
+    from cosyvoice_tpu.data.dataset import Dataset
+    from cosyvoice_tpu.frontend.tokenizer import get_tokenizer
+    from cosyvoice_tpu.train.executor import Executor
+    from cosyvoice_tpu.train.schedulers import get_scheduler
+    from cosyvoice_tpu.train.trainer import make_flow_train_step, make_lm_train_step
+    from cosyvoice_tpu.utils.devices import init_on_cpu, to_default_device
+
+    tokenizer = get_tokenizer(args.tokenizer_path or None)
+    sched = get_scheduler(args.scheduler, args.lr, warmup_steps=args.warmup_steps)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip),
+        optax.scale_by_adam(),
+        optax.scale_by_schedule(lambda s: -sched(int(s))),
+    )
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.model == "llm":
+        from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+        from cosyvoice_tpu.train.lm_data import collate_lm_batch
+
+        lm = Qwen2LM(LMConfig())
+        with init_on_cpu():
+            params = lm.init(key)
+        params = to_default_device(params)
+        step = make_lm_train_step(lm.module, optimizer, accum_steps=1)
+        collate = lambda b: {k: jax.numpy.asarray(v[None]) for k, v in collate_lm_batch(lm.cfg, b).items()}  # noqa: E731
+        pipeline = build_pipeline(args, tokenizer)
+    elif args.model == "flow":
+        from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
+
+        flow = CausalFlow(FlowConfig())
+        with init_on_cpu():
+            params = flow.init(key)
+        params = to_default_device(params)
+        flow_step = make_flow_train_step(flow, optimizer)
+
+        def step(params, opt_state, batch, step_no):
+            streaming = random.random() < 0.5  # unified training (flow.py:201)
+            return flow_step(params, opt_state, batch, jax.random.fold_in(key, int(step_no)), streaming)
+
+        def collate(b):
+            return {
+                "token": jax.numpy.asarray(b["speech_token"]),
+                "token_len": jax.numpy.asarray(b["speech_token_len"]),
+                "feat": jax.numpy.asarray(b["speech_feat"]),
+                "feat_len": jax.numpy.asarray(b["speech_feat_len"]),
+                "embedding": jax.numpy.asarray(b["embedding"]),
+            }
+
+        pipeline = build_pipeline(args, tokenizer)
+    else:  # hifigan
+        raise SystemExit(
+            "GAN training runs through cosyvoice_tpu.train.gan.make_gan_train_steps; "
+            "see tests/test_train.py::TestGAN for the wiring (dual-optimizer loop)."
+        )
+
+    dataset = Dataset(args.train_data, pipeline, rank=rank, world_size=world)
+    executor = Executor(
+        step, args.model_dir, model_name=args.model, log_interval=args.log_interval,
+        save_per_step=args.save_per_step, rank=rank,
+    )
+    if args.checkpoint:
+        params = executor.resume(params, args.checkpoint)
+    opt_state = optimizer.init(params)
+
+    # snapshot init before training (reference bin/train.py:156-159)
+    if rank == 0:
+        executor.save(params, opt_state, {"note": "init"})
+    for epoch in range(args.max_epoch):
+        dataset.set_epoch(epoch)
+        params, opt_state = executor.train_one_epoch(params, opt_state, iter(dataset), collate)
+        if rank == 0:
+            executor.save(params, opt_state)
+
+
+if __name__ == "__main__":
+    main()

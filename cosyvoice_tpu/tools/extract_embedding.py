@@ -1,0 +1,45 @@
+"""Extract CAM++ x-vectors for a wav.scp (replaces tools/extract_embedding.py:24-50)."""
+
+import argparse
+import pickle
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dir", required=True, help="kaldi-style dir with wav.scp and utt2spk")
+    parser.add_argument("--num_thread", type=int, default=8)
+    args = parser.parse_args()
+
+    import jax
+
+    from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+    from cosyvoice_tpu.utils.audio_io import load_wav
+
+    fe = CosyVoiceFrontEnd()
+    utt2wav = dict(line.split(maxsplit=1) for line in open(f"{args.dir}/wav.scp").read().splitlines())
+    utt2spk = dict(line.split(maxsplit=1) for line in open(f"{args.dir}/utt2spk").read().splitlines())
+
+    def one(utt):
+        wav = load_wav(utt2wav[utt].strip(), 16000)
+        return utt, fe._extract_spk_embedding(wav)[0]
+
+    with ThreadPoolExecutor(max_workers=args.num_thread) as ex:
+        utt2embedding = dict(ex.map(one, utt2wav))
+
+    spk2embedding = {}
+    for utt, emb in utt2embedding.items():
+        spk2embedding.setdefault(utt2spk[utt].strip(), []).append(emb)
+    spk2embedding = {k: np.mean(v, axis=0) for k, v in spk2embedding.items()}
+
+    with open(f"{args.dir}/utt2embedding.pkl", "wb") as f:
+        pickle.dump(utt2embedding, f)
+    with open(f"{args.dir}/spk2embedding.pkl", "wb") as f:
+        pickle.dump(spk2embedding, f)
+    print(f"wrote {len(utt2embedding)} utt embeddings, {len(spk2embedding)} spk embeddings")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+"""Extract S3 speech tokens for a wav.scp (replaces tools/extract_speech_token.py:26-49)."""
+
+import argparse
+import pickle
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dir", required=True)
+    args = parser.parse_args()
+
+    from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+    from cosyvoice_tpu.utils.audio_io import load_wav
+
+    fe = CosyVoiceFrontEnd()
+    utt2wav = dict(line.split(maxsplit=1) for line in open(f"{args.dir}/wav.scp").read().splitlines())
+    utt2token = {}
+    for utt, path in utt2wav.items():
+        wav = load_wav(path.strip(), 16000)
+        if wav.shape[1] / 16000 > 30:
+            print(f"skip {utt}: longer than 30s")
+            continue
+        utt2token[utt] = fe._extract_speech_token(wav).tolist()
+    with open(f"{args.dir}/utt2speech_token.pkl", "wb") as f:
+        pickle.dump(utt2token, f)
+    print(f"wrote {len(utt2token)} token sequences")
+
+
+if __name__ == "__main__":
+    main()
