@@ -28,6 +28,7 @@ from cosyvoice_tpu.nn.conv import (
     CausalConv1d,
     CausalConv1dDownSample,
     CausalConv1dUpsample,
+    Conv1d,
     WNConv1d,
     WNConvTranspose1d,
 )
@@ -240,16 +241,18 @@ class HiFTGenerator(nn.Module):
         ):
             ch = cfg.base_channels // (2 ** (i + 1))
             u = int(u)
+            # source_downs are plain (non-weight-normed) convs in the
+            # reference (generator.py:446-458)
             if u == 1:
                 if cfg.causal:
-                    source_downs.append(CausalConv1d(ch, 1, weight_norm=True, name=f"source_downs_{i}"))
+                    source_downs.append(CausalConv1d(ch, 1, name=f"source_downs_{i}"))
                 else:
-                    source_downs.append(WNConv1d(ch, 1, name=f"source_downs_{i}"))
+                    source_downs.append(Conv1d(ch, 1, name=f"source_downs_{i}"))
             else:
                 if cfg.causal:
-                    source_downs.append(CausalConv1dDownSample(ch, u * 2, u, name=f"source_downs_{i}"))
+                    source_downs.append(CausalConv1dDownSample(ch, u * 2, u, weight_norm=False, name=f"source_downs_{i}"))
                 else:
-                    source_downs.append(WNConv1d(ch, u * 2, stride=u, padding=u // 2, name=f"source_downs_{i}"))
+                    source_downs.append(Conv1d(ch, u * 2, stride=u, padding=u // 2, name=f"source_downs_{i}"))
             source_resblocks.append(ResBlock(ch, k, d, causal=cfg.causal, name=f"source_resblocks_{i}"))
         self.source_downs = source_downs
         self.source_resblocks = source_resblocks

@@ -1,0 +1,365 @@
+"""Convert reference torch checkpoints (llm.pt / flow.pt / hift.pt) into
+cosyvoice_tpu param trees.
+
+The reference stores plain state_dicts (cli/model.py:65-73). Mapping rules:
+
+- torch Linear weight [out, in]      -> flax Dense kernel [in, out] (transpose)
+- torch Conv1d weight [out, in, k]   -> our Conv1d kernel [k, in, out]
+- torch ConvTranspose1d [in, out, k] -> WNConvTranspose1d v [k, in, out]
+- torch weight_norm: handles both legacy (weight_g / weight_v) and new
+  parametrizations (parametrizations.weight.original0/1) layouts
+- HF Qwen2 q/k/v_proj  -> fused qkv_proj (concat out dim)
+-           gate/up_proj -> fused gate_up_proj
+
+Every converter asserts all torch keys are consumed and all flax leaves are
+filled with matching shapes, so a mapping drift fails loudly.
+"""
+
+import argparse
+import re
+from typing import Dict
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def load_torch_state(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("generator.", "") if k.startswith("generator.") else k
+        out[k] = v.detach().numpy()
+    return _fold_weight_norm(out)
+
+
+def _fold_weight_norm(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalize both weight-norm layouts to ('.weight_g', '.weight_v')."""
+    out = dict(sd)
+    for k in list(out.keys()):
+        m = re.match(r"(.*)\.parametrizations\.weight\.original0$", k)
+        if m:
+            out[m.group(1) + ".weight_g"] = out.pop(k)
+        m = re.match(r"(.*)\.parametrizations\.weight\.original1$", k)
+        if m:
+            out[m.group(1) + ".weight_v"] = out.pop(k)
+    return out
+
+
+def _lin(w):  # torch Linear -> Dense kernel
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w):  # torch Conv1d [out, in, k] -> [k, in, out]
+    return np.ascontiguousarray(w.transpose(2, 1, 0))
+
+
+def _convT(w):  # torch ConvTranspose1d [in, out, k] -> [k, in, out]
+    return np.ascontiguousarray(w.transpose(2, 0, 1))
+
+
+class TreeFiller:
+    def __init__(self, template: dict):
+        import jax
+
+        self.flat = dict(jax.tree_util.tree_flatten_with_path(template)[0].__iter__()) if False else None
+        leaves = jax.tree_util.tree_leaves_with_path(template)
+        self.shapes = {self._p(path): leaf.shape for path, leaf in leaves}
+        self.values = {}
+        self.template = template
+
+    @staticmethod
+    def _p(path):
+        return "/".join(getattr(k, "key", str(k)) for k in path)
+
+    def put(self, path: str, value: np.ndarray):
+        assert path in self.shapes, f"unknown flax path {path}"
+        assert tuple(self.shapes[path]) == tuple(value.shape), (
+            f"shape mismatch at {path}: flax {self.shapes[path]} vs torch {value.shape}"
+        )
+        self.values[path] = np.asarray(value, np.float32)
+
+    def build(self):
+        import jax
+
+        missing = set(self.shapes) - set(self.values)
+        assert not missing, f"unfilled flax leaves: {sorted(missing)[:10]} (+{max(0, len(missing)-10)} more)"
+
+        def fill(path, leaf):
+            return self.values[self._p(path)].astype(leaf.dtype) if hasattr(leaf, "dtype") else leaf
+
+        return jax.tree_util.tree_map_with_path(fill, self.template)
+
+
+# ---------------------------------------------------------------------------
+# HiFT (hift.pt) -> HiFTGenerator params
+# ---------------------------------------------------------------------------
+
+def convert_hift(sd: Dict[str, np.ndarray], template: dict) -> dict:
+    tf = TreeFiller(template)
+    used = set()
+
+    def wn_conv(torch_prefix, flax_prefix):
+        tf.put(f"{flax_prefix}/v", _conv(sd[f"{torch_prefix}.weight_v"]))
+        tf.put(f"{flax_prefix}/g", sd[f"{torch_prefix}.weight_g"].reshape(-1))
+        tf.put(f"{flax_prefix}/bias", sd[f"{torch_prefix}.bias"])
+        used.update({f"{torch_prefix}.weight_v", f"{torch_prefix}.weight_g", f"{torch_prefix}.bias"})
+
+    def wn_convT(torch_prefix, flax_prefix):
+        tf.put(f"{flax_prefix}/v", _convT(sd[f"{torch_prefix}.weight_v"]))
+        tf.put(f"{flax_prefix}/g", sd[f"{torch_prefix}.weight_g"].reshape(-1))
+        tf.put(f"{flax_prefix}/bias", sd[f"{torch_prefix}.bias"])
+        used.update({f"{torch_prefix}.weight_v", f"{torch_prefix}.weight_g", f"{torch_prefix}.bias"})
+
+    p = "params"
+    for i in range(5):
+        wn_conv(f"f0_predictor.condnet.{2 * i}", f"{p}/f0_predictor/condnet_{i}")
+    tf.put(f"{p}/f0_predictor/classifier/kernel", _lin(sd["f0_predictor.classifier.weight"]))
+    tf.put(f"{p}/f0_predictor/classifier/bias", sd["f0_predictor.classifier.bias"])
+    used.update({"f0_predictor.classifier.weight", "f0_predictor.classifier.bias"})
+
+    tf.put(f"{p}/m_source/l_linear/kernel", _lin(sd["m_source.l_linear.weight"]))
+    tf.put(f"{p}/m_source/l_linear/bias", sd["m_source.l_linear.bias"])
+    used.update({"m_source.l_linear.weight", "m_source.l_linear.bias"})
+
+    wn_conv("conv_pre", f"{p}/conv_pre")
+    wn_conv("conv_post", f"{p}/conv_post")
+
+    n_ups = len([k for k in sd if re.match(r"ups\.\d+\.weight_v", k)])
+    for i in range(n_ups):
+        wn_convT(f"ups.{i}", f"{p}/ups_{i}")
+
+    def resblock(torch_prefix, flax_prefix, n_convs):
+        for j in range(n_convs):
+            wn_conv(f"{torch_prefix}.convs1.{j}", f"{flax_prefix}/convs1_{j}")
+            wn_conv(f"{torch_prefix}.convs2.{j}", f"{flax_prefix}/convs2_{j}")
+            tf.put(f"{flax_prefix}/act1_{j}/alpha", sd[f"{torch_prefix}.activations1.{j}.alpha"])
+            tf.put(f"{flax_prefix}/act2_{j}/alpha", sd[f"{torch_prefix}.activations2.{j}.alpha"])
+            used.update({f"{torch_prefix}.activations1.{j}.alpha", f"{torch_prefix}.activations2.{j}.alpha"})
+
+    n_src = len({k.split(".")[1] for k in sd if k.startswith("source_downs.")})
+    for i in range(n_src):
+        # plain convs (generator.py:446-458)
+        tf.put(f"{p}/source_downs_{i}/kernel", _conv(sd[f"source_downs.{i}.weight"]))
+        tf.put(f"{p}/source_downs_{i}/bias", sd[f"source_downs.{i}.bias"])
+        used.update({f"source_downs.{i}.weight", f"source_downs.{i}.bias"})
+        n_convs = len({k.split(".")[3] for k in sd if k.startswith(f"source_resblocks.{i}.convs1.") and k.endswith("weight_v")})
+        resblock(f"source_resblocks.{i}", f"{p}/source_resblocks_{i}", n_convs)
+
+    n_res = len({k.split(".")[1] for k in sd if k.startswith("resblocks.")})
+    for i in range(n_res):
+        n_convs = len({k.split(".")[3] for k in sd if k.startswith(f"resblocks.{i}.convs1.") and k.endswith("weight_v")})
+        resblock(f"resblocks.{i}", f"{p}/resblocks_{i}", n_convs)
+
+    leftover = set(sd) - used
+    leftover = {k for k in leftover if "stft_window" not in k and "f0_upsamp" not in k}
+    assert not leftover, f"unconsumed torch keys: {sorted(leftover)[:10]}"
+    return tf.build()
+
+
+# ---------------------------------------------------------------------------
+# LLM v2 (llm.pt, HF Qwen2 inside) -> Qwen2LMModule params
+# ---------------------------------------------------------------------------
+
+def convert_llm_v2(sd: Dict[str, np.ndarray], template: dict) -> dict:
+    tf = TreeFiller(template)
+    used = set()
+    p = "params"
+
+    tf.put(f"{p}/llm_embedding/embedding", sd["llm_embedding.weight"]); used.add("llm_embedding.weight")
+    tf.put(f"{p}/speech_embedding/embedding", sd["speech_embedding.weight"]); used.add("speech_embedding.weight")
+    tf.put(f"{p}/llm_decoder/kernel", _lin(sd["llm_decoder.weight"])); used.add("llm_decoder.weight")
+    if "llm_decoder.bias" in sd:
+        tf.put(f"{p}/llm_decoder/bias", sd["llm_decoder.bias"]); used.add("llm_decoder.bias")
+
+    q = "llm.model.model"
+    tf.put(f"{p}/llm/embed_tokens/embedding", sd[f"{q}.embed_tokens.weight"]); used.add(f"{q}.embed_tokens.weight")
+    tf.put(f"{p}/llm/norm/weight", sd[f"{q}.norm.weight"]); used.add(f"{q}.norm.weight")
+    n_layers = len({m.group(1) for k in sd if (m := re.match(rf"{re.escape(q)}\.layers\.(\d+)\.", k))})
+    for i in range(n_layers):
+        t = f"{q}.layers.{i}"
+        f = f"{p}/llm/layers_{i}"
+        qw, kw, vw = sd[f"{t}.self_attn.q_proj.weight"], sd[f"{t}.self_attn.k_proj.weight"], sd[f"{t}.self_attn.v_proj.weight"]
+        qb, kb, vb = sd[f"{t}.self_attn.q_proj.bias"], sd[f"{t}.self_attn.k_proj.bias"], sd[f"{t}.self_attn.v_proj.bias"]
+        tf.put(f"{f}/self_attn/qkv_proj/kernel", _lin(np.concatenate([qw, kw, vw], axis=0)))
+        tf.put(f"{f}/self_attn/qkv_proj/bias", np.concatenate([qb, kb, vb]))
+        tf.put(f"{f}/self_attn/o_proj/kernel", _lin(sd[f"{t}.self_attn.o_proj.weight"]))
+        gw, uw = sd[f"{t}.mlp.gate_proj.weight"], sd[f"{t}.mlp.up_proj.weight"]
+        tf.put(f"{f}/mlp/gate_up_proj/kernel", _lin(np.concatenate([gw, uw], axis=0)))
+        tf.put(f"{f}/mlp/down_proj/kernel", _lin(sd[f"{t}.mlp.down_proj.weight"]))
+        tf.put(f"{f}/input_layernorm/weight", sd[f"{t}.input_layernorm.weight"])
+        tf.put(f"{f}/post_attention_layernorm/weight", sd[f"{t}.post_attention_layernorm.weight"])
+        used.update(
+            {
+                f"{t}.self_attn.q_proj.weight", f"{t}.self_attn.k_proj.weight", f"{t}.self_attn.v_proj.weight",
+                f"{t}.self_attn.q_proj.bias", f"{t}.self_attn.k_proj.bias", f"{t}.self_attn.v_proj.bias",
+                f"{t}.self_attn.o_proj.weight", f"{t}.mlp.gate_proj.weight", f"{t}.mlp.up_proj.weight",
+                f"{t}.mlp.down_proj.weight", f"{t}.input_layernorm.weight", f"{t}.post_attention_layernorm.weight",
+            }
+        )
+    leftover = {
+        k for k in set(sd) - used
+        if "rotary_emb" not in k and not k.startswith("llm.model.lm_head") and "criterion" not in k
+    }
+    assert not leftover, f"unconsumed torch keys: {sorted(leftover)[:10]}"
+    return tf.build()
+
+
+# ---------------------------------------------------------------------------
+# Flow v2 (flow.pt) -> {"encoder": ..., "estimator": ...}
+# ---------------------------------------------------------------------------
+
+def convert_flow_v2(sd: Dict[str, np.ndarray], template: dict) -> dict:
+    enc = TreeFiller(template["encoder"])
+    est = TreeFiller(template["estimator"])
+    used = set()
+    p = "params"
+
+    def lin(t, f, filler, bias=True):
+        filler.put(f"{f}/kernel", _lin(sd[f"{t}.weight"])); used.add(f"{t}.weight")
+        if bias:
+            filler.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    def ln(t, f, filler):
+        filler.put(f"{f}/scale", sd[f"{t}.weight"]); used.add(f"{t}.weight")
+        filler.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    def conv(t, f, filler, bias=True):
+        filler.put(f"{f}/kernel", _conv(sd[f"{t}.weight"])); used.add(f"{t}.weight")
+        if bias:
+            filler.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    # ---- encoder side ----
+    enc.put(f"{p}/input_embedding/embedding", sd["input_embedding.weight"]); used.add("input_embedding.weight")
+    lin("spk_embed_affine_layer", f"{p}/spk_embed_affine_layer", enc)
+    lin("encoder_proj", f"{p}/encoder_proj", enc)
+
+    def conformer_layer(t, f):
+        for name in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            lin(f"{t}.self_attn.{name}", f"{f}/self_attn/{name}", enc)
+        lin(f"{t}.self_attn.linear_pos", f"{f}/self_attn/linear_pos", enc, bias=False)
+        enc.put(f"{f}/self_attn/pos_bias_u", sd[f"{t}.self_attn.pos_bias_u"]); used.add(f"{t}.self_attn.pos_bias_u")
+        enc.put(f"{f}/self_attn/pos_bias_v", sd[f"{t}.self_attn.pos_bias_v"]); used.add(f"{t}.self_attn.pos_bias_v")
+        lin(f"{t}.feed_forward.w_1", f"{f}/feed_forward/w_1", enc)
+        lin(f"{t}.feed_forward.w_2", f"{f}/feed_forward/w_2", enc)
+        ln(f"{t}.norm_mha", f"{f}/norm_mha", enc)
+        ln(f"{t}.norm_ff", f"{f}/norm_ff", enc)
+
+    e = "encoder"
+    lin(f"{e}.embed.out.0", f"{p}/encoder/embed/out_dense", enc)
+    ln(f"{e}.embed.out.1", f"{p}/encoder/embed/out_norm", enc)
+    conv(f"{e}.pre_lookahead_layer.conv1", f"{p}/encoder/pre_lookahead_layer/conv1", enc)
+    conv(f"{e}.pre_lookahead_layer.conv2", f"{p}/encoder/pre_lookahead_layer/conv2", enc)
+    n_enc = len({k.split(".")[2] for k in sd if k.startswith(f"{e}.encoders.")})
+    for i in range(n_enc):
+        conformer_layer(f"{e}.encoders.{i}", f"{p}/encoder/encoders_{i}")
+    conv(f"{e}.up_layer.conv", f"{p}/encoder/up_layer/conv", enc)
+    lin(f"{e}.up_embed.out.0", f"{p}/encoder/up_embed/out_dense", enc)
+    ln(f"{e}.up_embed.out.1", f"{p}/encoder/up_embed/out_norm", enc)
+    n_up = len({k.split(".")[2] for k in sd if k.startswith(f"{e}.up_encoders.")})
+    for i in range(n_up):
+        conformer_layer(f"{e}.up_encoders.{i}", f"{p}/encoder/up_encoders_{i}")
+    ln(f"{e}.after_norm", f"{p}/encoder/after_norm", enc)
+
+    # ---- estimator ----
+    d = "decoder.estimator"
+    lin(f"{d}.time_mlp.linear_1", f"{p}/time_mlp/linear_1", est)
+    lin(f"{d}.time_mlp.linear_2", f"{p}/time_mlp/linear_2", est)
+
+    def causal_block(t, f):
+        conv(f"{t}.block.0", f"{f}/conv/conv", est)
+        ln(f"{t}.block.2", f"{f}/norm", est)
+
+    def resnet(t, f):
+        causal_block(f"{t}.block1", f"{f}/block1")
+        causal_block(f"{t}.block2", f"{f}/block2")
+        lin(f"{t}.mlp.1", f"{f}/mlp", est)
+        conv(f"{t}.res_conv", f"{f}/res_conv", est)
+
+    def tblock(t, f):
+        ln(f"{t}.norm1", f"{f}/norm1", est)
+        ln(f"{t}.norm3", f"{f}/norm3", est)
+        lin(f"{t}.attn1.to_q", f"{f}/attn1/to_q", est, bias=False)
+        lin(f"{t}.attn1.to_k", f"{f}/attn1/to_k", est, bias=False)
+        lin(f"{t}.attn1.to_v", f"{f}/attn1/to_v", est, bias=False)
+        lin(f"{t}.attn1.to_out.0", f"{f}/attn1/to_out", est)
+        lin(f"{t}.ff.net.0.proj", f"{f}/ff_in", est)
+        lin(f"{t}.ff.net.2", f"{f}/ff_out", est)
+
+    n_blocks = len({k.split(".")[4] for k in sd if k.startswith(f"{d}.down_blocks.0.1.")})
+    resnet(f"{d}.down_blocks.0.0", f"{p}/down_resnet_0")
+    for j in range(n_blocks):
+        tblock(f"{d}.down_blocks.0.1.{j}", f"{p}/down_tf_0_{j}")
+    conv(f"{d}.down_blocks.0.2", f"{p}/down_post_0/conv", est)
+
+    n_mid = len({k.split(".")[2] for k in sd if k.startswith(f"{d}.mid_blocks.")})
+    for i in range(n_mid):
+        resnet(f"{d}.mid_blocks.{i}.0", f"{p}/mid_resnet_{i}")
+        for j in range(n_blocks):
+            tblock(f"{d}.mid_blocks.{i}.1.{j}", f"{p}/mid_tf_{i}_{j}")
+
+    resnet(f"{d}.up_blocks.0.0", f"{p}/up_resnet_0")
+    for j in range(n_blocks):
+        tblock(f"{d}.up_blocks.0.1.{j}", f"{p}/up_tf_0_{j}")
+    conv(f"{d}.up_blocks.0.2", f"{p}/up_post_0/conv", est)
+    causal_block(f"{d}.final_block", f"{p}/final_block")
+    conv(f"{d}.final_proj", f"{p}/final_proj", est)
+
+    leftover = {k for k in set(sd) - used if "rand_noise" not in k and "onnx" not in k}
+    assert not leftover, f"unconsumed torch keys: {sorted(leftover)[:12]}"
+    return {"encoder": enc.build(), "estimator": est.build()}
+
+
+# ---------------------------------------------------------------------------
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_dir", required=True, help="reference model dir with llm.pt/flow.pt/hift.pt")
+    parser.add_argument("--out_dir", required=True)
+    parser.add_argument("--version", type=int, default=2)
+    args = parser.parse_args()
+
+    import os
+
+    import flax.serialization as ser
+    import jax
+    import jax.numpy as jnp
+
+    assert args.version == 2, "v1/v3 converters follow the same mapping rules; wire them as needed"
+
+    from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
+    from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+    from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+    from cosyvoice_tpu.utils.devices import init_on_cpu
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    with init_on_cpu():
+        lm = Qwen2LM(LMConfig())
+        flow = CausalFlow(FlowConfig())
+        hift = HiFTGenerator(HiFTConfig())
+        k = jax.random.PRNGKey(0)
+        lm_t = lm.init(k)
+        flow_t = flow.init(k)
+        hift_t = hift.init(k, jnp.zeros((1, 8, 80)), k)
+
+    for name, conv_fn, template in (
+        ("llm", convert_llm_v2, lm_t),
+        ("flow", convert_flow_v2, flow_t),
+        ("hift", convert_hift, hift_t),
+    ):
+        src = os.path.join(args.model_dir, f"{name}.pt")
+        if not os.path.exists(src):
+            print(f"skip {name}: {src} not found")
+            continue
+        params = conv_fn(load_torch_state(src), template)
+        with open(os.path.join(args.out_dir, f"{name}.msgpack"), "wb") as f:
+            f.write(ser.to_bytes(params))
+        print(f"converted {name}")
+
+
+if __name__ == "__main__":
+    main()
