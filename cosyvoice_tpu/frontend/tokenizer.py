@@ -100,10 +100,16 @@ class QwenTokenizer:
 
 
 def get_tokenizer(token_path: Optional[str] = None, version: int = 2):
+    special = V2_SPECIAL_TOKENS + (V3_EXTRA_SPECIAL_TOKENS if version >= 3 else [])
+    if token_path and token_path.endswith(".tiktoken"):
+        # v1 whisper-style tiktoken vocab -> native C++ BPE runtime
+        from cosyvoice_tpu.frontend.native_bpe import NativeBPETokenizer
+
+        base = sum(1 for _ in open(token_path, "rb"))
+        return NativeBPETokenizer(token_path, special_tokens={t: base + i for i, t in enumerate(special)})
     if token_path:
         try:
             return QwenTokenizer(token_path, version=version)
         except Exception:
             pass
-    special = V2_SPECIAL_TOKENS + (V3_EXTRA_SPECIAL_TOKENS if version >= 3 else [])
     return ByteFallbackTokenizer(special)
