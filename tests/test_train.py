@@ -202,3 +202,25 @@ class TestDataPipeline:
         b = batches[0]
         assert b["speech_feat"].ndim == 3 and b["speech_feat"].shape[-1] == 80
         assert b["speech_token"].shape[0] == b["embedding"].shape[0]
+
+
+class TestOnlineFeatures:
+    def test_online_token_extraction(self):
+        from cosyvoice_tpu.models.speech_tokenizer import S3TokenizerConfig
+        from cosyvoice_tpu.train.online_features import OnlineSpeechTokenExtractor
+
+        ex = OnlineSpeechTokenExtractor(
+            cfg=S3TokenizerConfig(d_model=32, num_heads=2, num_layers=1, fsq_levels=(3,) * 4, codebook_size=81)
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "whisper_feat": rng.standard_normal((2, 100, 128)).astype(np.float32),
+            "whisper_feat_len": np.asarray([100, 60], np.int32),
+        }
+        out = ex.add_to_batch(batch)
+        assert out["speech_token"].shape[0] == 2
+        assert out["speech_token_len"][0] == 25  # 100 Hz -> 25 Hz
+        assert (out["speech_token"] >= 0).all() and (out["speech_token"] < 81).all()
+        # idempotent when tokens already present
+        again = ex.add_to_batch(out)
+        assert again is out or "speech_token" in again
