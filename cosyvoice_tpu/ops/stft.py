@@ -21,8 +21,17 @@ def hann_window(n: int, dtype=jnp.float32) -> jax.Array:
 
 
 def frame_signal(x: jax.Array, frame_len: int, hop: int) -> jax.Array:
-    """Slice [..., L] into hop-strided frames [..., T, frame_len] (no padding)."""
+    """Slice [..., L] into hop-strided frames [..., T, frame_len] (no padding).
+
+    When hop divides frame_len the framing is k = frame_len/hop overlapping
+    reshape-views concatenated — pure slices, no gather (TPU gathers/scatters
+    serialize; slices are free).
+    """
     n_frames = 1 + (x.shape[-1] - frame_len) // hop
+    if frame_len % hop == 0:
+        k = frame_len // hop
+        blocks = x[..., : (n_frames + k - 1) * hop].reshape(x.shape[:-1] + (n_frames + k - 1, hop))
+        return jnp.concatenate([blocks[..., j : j + n_frames, :] for j in range(k)], axis=-1)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
     return x[..., idx]
 
@@ -65,17 +74,31 @@ def istft(spec: jax.Array, n_fft: int, hop: int, window: jax.Array, center: bool
     frames = frames * window
     n_frames = frames.shape[-2]
     out_len = n_fft + hop * (n_frames - 1)
-
-    # overlap-add via scatter-add on a dilated reshape: frame t starts at t*hop
     batch_shape = frames.shape[:-2]
     flat = frames.reshape((-1, n_frames, n_fft))
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-    sig = jnp.zeros((flat.shape[0], out_len), flat.dtype)
-    sig = sig.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
 
-    wsq = jnp.zeros((out_len,), frames.dtype)
-    wsq = wsq.at[idx.reshape(-1)].add(jnp.tile(window * window, (n_frames,)))
-    sig = sig / jnp.maximum(wsq, 1e-11)[None, :]
+    if n_fft % hop == 0:
+        # overlap-add without scatter: frame slice [j*hop,(j+1)*hop) of frame t
+        # lands contiguously at output offset (t+j)*hop, so each of the
+        # k = n_fft/hop slice-groups is one zero-padded reshape + add.
+        k = n_fft // hop
+        sig = jnp.zeros((flat.shape[0], out_len), flat.dtype)
+        for j in range(k):
+            contrib = flat[:, :, j * hop : (j + 1) * hop].reshape(flat.shape[0], n_frames * hop)
+            sig = sig + jnp.pad(contrib, ((0, 0), (j * hop, (k - 1 - j) * hop)))
+        # window-square normalization with the same slice trick
+        w2 = window * window
+        wsq = jnp.zeros((out_len,), frames.dtype)
+        for j in range(k):
+            wsq = wsq + jnp.pad(jnp.tile(w2[j * hop : (j + 1) * hop], n_frames), (j * hop, (k - 1 - j) * hop))
+        sig = sig / jnp.maximum(wsq, 1e-11)[None, :]
+    else:
+        idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+        sig = jnp.zeros((flat.shape[0], out_len), flat.dtype)
+        sig = sig.at[:, idx.reshape(-1)].add(flat.reshape(flat.shape[0], -1))
+        wsq = jnp.zeros((out_len,), frames.dtype)
+        wsq = wsq.at[idx.reshape(-1)].add(jnp.tile(window * window, (n_frames,)))
+        sig = sig / jnp.maximum(wsq, 1e-11)[None, :]
 
     if center:
         sig = sig[:, n_fft // 2 : out_len - n_fft // 2]
