@@ -27,6 +27,7 @@ import numpy as np
 from cosyvoice_tpu.models.flow import CausalFlow
 from cosyvoice_tpu.models.hift import HiFTGenerator
 from cosyvoice_tpu.models.llm import Qwen2LM, TYPE_SPECIAL, TYPE_SPEECH, TYPE_TEXT
+from cosyvoice_tpu.utils.profiling import StageTimer
 
 LOG_SILENCE = -11.512925  # ln(1e-5): matcha mel floor, used for mel padding
 
@@ -79,6 +80,7 @@ class CosyVoice2Engine:
         self.token_bucket = token_bucket
         self.mel_bucket = mel_bucket
         self.seed = seed
+        self.timer = StageTimer()  # per-stage wall-time accounting (SURVEY §5.1)
 
         self._jit_flow = jax.jit(
             lambda p, tok, tl, conds, emb, ctx, streaming: self.flow.inference(
@@ -103,6 +105,7 @@ class CosyVoice2Engine:
     ) -> np.ndarray:
         """Run flow on the full prefix; returns mel [1, body_len*r, 80] where
         body_len = L - (0 if finalize else lookahead)."""
+        t_start = time.perf_counter()
         L = len(all_tokens)
         la = self.pre_lookahead_len
         if finalize:
@@ -123,16 +126,21 @@ class CosyVoice2Engine:
             ctx,
             streaming,
         )
-        return np.asarray(mel)[:, : len(body) * self.token_mel_ratio]
+        out = np.asarray(mel)[:, : len(body) * self.token_mel_ratio]
+        self.timer.add("flow", time.perf_counter() - t_start)
+        return out
 
     def _vocode(self, mel: np.ndarray, cache_source: np.ndarray, rng) -> tuple:
         """mel: [1, T, 80] -> (wav [1, T*480], source [1, T*480]); buckets T."""
+        t_start = time.perf_counter()
         T = mel.shape[1]
         Tpad = _bucket(T, self.mel_bucket)
         mel_p = np.full((1, Tpad, 80), LOG_SILENCE, np.float32)
         mel_p[:, :T] = mel
         wav, src = self._jit_hift(self.hift_params, jnp.asarray(mel_p), rng, jnp.asarray(cache_source))
-        return np.asarray(wav)[:, : T * self.wav_hop], np.asarray(src)[:, : T * self.wav_hop]
+        out = np.asarray(wav)[:, : T * self.wav_hop], np.asarray(src)[:, : T * self.wav_hop]
+        self.timer.add("vocoder", time.perf_counter() - t_start)
+        return out
 
     # ------------------------------------------------------------------
     def token2wav(
