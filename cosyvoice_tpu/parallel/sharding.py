@@ -111,3 +111,31 @@ def shard_accum_batch(mesh: Mesh, batch):
 
 def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_opt_state_zero(mesh: Mesh, opt_state, params, rule=lm_param_spec):
+    """ZeRO-style optimizer-state sharding (the DeepSpeed stage-2 analog,
+    reference train_utils.py:101-108): adam moments of replicated params are
+    sharded along 'dp' on their first divisible axis; moments of tp-sharded
+    params keep the param sharding (optax zeros_like already inherits it)."""
+    dp = dict(zip(mesh.axis_names, mesh.devices.shape))["dp"]
+    param_shapes = {id(l): True for l in jax.tree_util.tree_leaves(params)}  # noqa: F841
+
+    pspecs = param_specs(params, rule, mesh)
+    flat_specs = {tuple(l.shape): s for (s, l) in zip(jax.tree_util.tree_leaves(pspecs, is_leaf=lambda x: isinstance(x, P)), jax.tree_util.tree_leaves(params))}
+
+    def place(leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P()))
+        spec = flat_specs.get(tuple(leaf.shape))
+        if spec is not None and any(ax is not None for ax in spec):
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        # replicated param -> shard moment along dp on the first divisible axis
+        for dim, n in enumerate(leaf.shape):
+            if n % dp == 0:
+                ax = [None] * leaf.ndim
+                ax[dim] = "dp"
+                return jax.device_put(leaf, NamedSharding(mesh, P(*ax)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(place, opt_state)
