@@ -16,22 +16,33 @@ tokens for CosyVoice2 (cosyvoice/tokenizer/tokenizer.py:241-271) and adds
 import re
 from typing import List, Optional
 
+# exact paralinguistic special-token inventory (tokenizer.py:244-256)
 V2_SPECIAL_TOKENS = [
-    "<|endofprompt|>",
-    "[breath]", "<strong>", "</strong>", "[noise]", "[laughter]", "[cough]", "[clucking]",
-    "[accent]", "[quick_breath]", "<laughter>", "</laughter>", "[hissing]", "[sigh]",
-    "[vocalized-noise]", "[lipsmack]", "[mn]",
+    "<|im_start|>", "<|im_end|>", "<|endofprompt|>",
+    "[breath]", "<strong>", "</strong>", "[noise]",
+    "[laughter]", "[cough]", "[clucking]", "[accent]",
+    "[quick_breath]",
+    "<laughter>", "</laughter>",
+    "[hissing]", "[sigh]", "[vocalized-noise]",
+    "[lipsmack]", "[mn]",
 ]
 
-_PINYIN_INITIALS = "b p m f d t n l g k h j q x zh ch sh r z c s y w".split()
-_CMU_PHONES = (
-    "AA AE AH AO AW AY B CH D DH EH ER EY F G HH IH IY JH K L M N NG OW OY P R S SH T TH UH UW V W Y Z ZH"
+# v3 pronunciation-inpainting inventory (tokenizer.py:274-306): CMU phones
+# with stress digits + toned pinyin syllable pieces
+_CMU = (
+    "AA AA0 AA1 AA2 AE AE0 AE1 AE2 AH AH0 AH1 AH2 AO AO0 AO1 AO2 AW AW0 AW1 AW2 AY AY0 AY1 AY2 "
+    "B CH D DH EH EH0 EH1 EH2 ER ER0 ER1 ER2 EY EY0 EY1 EY2 F G HH IH IH0 IH1 IH2 IY IY0 IY1 IY2 "
+    "JH K L M N NG OW OW0 OW1 OW2 OY OY0 OY1 OY2 P R S SH T TH UH UH0 UH1 UH2 UW UW0 UW1 UW2 V W Y Z ZH"
 ).split()
-V3_EXTRA_SPECIAL_TOKENS = (
-    ["<|endofsystem|>"]
-    + [f"<|{p}|>" for p in _CMU_PHONES]
-    + [f"<|{i}{v}{t}|>" for i in ["a", "o", "e", "i", "u", "v"] for v in [""] for t in ["1", "2", "3", "4", "5"]]
-)
+_PINYIN = (
+    "a ai an ang ao b c ch d e ei en eng f g h i ian in ing iu ià iàn iàng iào iá ián iáng iáo iè ié "
+    "iòng ióng iù iú iā iān iāng iāo iē iě iōng iū iǎ iǎn iǎng iǎo iǒng iǔ j k l m n o ong ou p q r s sh "
+    "t u uang ue un uo uà uài uàn uàng uá uái uán uáng uè ué uì uí uò uó uā uāi uān uāng uē uě uī uō uǎ "
+    "uǎi uǎn uǎng uǐ uǒ vè w x y z zh à ài àn àng ào á ái án áng áo è èi èn èng èr é éi én éng ér ì ìn "
+    "ìng í ín íng ò òng òu ó óng óu ù ùn ú ún ā āi ān āng āo ē ēi ēn ēng ě ěi ěn ěng ěr ī īn īng ō ōng "
+    "ōu ū ūn ǎ ǎi ǎn ǎng ǎo ǐ ǐn ǐng ǒ ǒng ǒu ǔ ǔn ǘ ǚ ǜ"
+).split()
+V3_EXTRA_SPECIAL_TOKENS = ["<|endofsystem|>"] + [f"[{p}]" for p in _CMU] + [f"[{p}]" for p in _PINYIN]
 
 
 class ByteFallbackTokenizer:
