@@ -93,6 +93,46 @@ class CosyVoice2Engine:
                 p, mel, rng, cache_source=cache_source, method="inference"
             ),
         )
+        # fused offline token->wav: flow + mel slice + vocoder in ONE device
+        # program — the mel never leaves the chip (one upload, one wav
+        # download; critical when the host<->device link has latency)
+        self._jit_t2w_fused = jax.jit(self._t2w_fused_impl, static_argnames=("prompt_mel_len",))
+
+    def _t2w_fused_impl(self, flow_params, hift_params, tok, token_len, conds, emb, rng, prompt_mel_len: int):
+        mel = self.flow.inference(flow_params, tok, token_len, conds, emb, streaming=False)
+        mel = mel[:, prompt_mel_len:]
+        # silence out the padded tail so the vocoder tail stays clean
+        valid = jnp.arange(mel.shape[1])[None, :, None] < (token_len[0] * self.token_mel_ratio - prompt_mel_len)
+        mel = jnp.where(valid, mel, LOG_SILENCE)
+        wav, _ = self.hift.apply(hift_params, mel, rng, method="inference")
+        return wav
+
+    def synthesize_offline(self, tokens, prompt_token, prompt_feat, embedding, speed: float = 1.0):
+        """Single fused device call for the non-streaming path."""
+        if speed != 1.0 or len(tokens) == 0:
+            # speed change interpolates mel on host; fall back to the 2-call path
+            from cosyvoice_tpu.runtime.engine import SessionState
+
+            return self.token2wav(
+                SessionState(), tokens, prompt_token, prompt_feat, embedding, 0, False, True, speed
+            )
+        all_tokens = np.concatenate([prompt_token, tokens]).astype(np.int32)
+        L = len(all_tokens)
+        Lpad = _bucket(L, self.token_bucket)
+        tok = np.zeros((1, Lpad), np.int32)
+        tok[0, :L] = all_tokens
+        conds = np.zeros((1, Lpad * self.token_mel_ratio, 80), np.float32)
+        conds[:, : prompt_feat.shape[1]] = prompt_feat
+        t0 = time.perf_counter()
+        wav = self._jit_t2w_fused(
+            self.flow_params, self.hift_params, jnp.asarray(tok), jnp.asarray([L]),
+            jnp.asarray(conds), jnp.asarray(embedding), jax.random.PRNGKey(self.seed),
+            prompt_mel_len=prompt_feat.shape[1],
+        )
+        n_valid = (L - len(prompt_token)) * self.token_mel_ratio * self.wav_hop
+        out = np.asarray(wav)[:, :n_valid]
+        self.timer.add("t2w_fused", time.perf_counter() - t0)
+        return out
 
     # ------------------------------------------------------------------
     def _flow_chunk(
@@ -254,15 +294,11 @@ class CosyVoice2Engine:
         if not stream:
             for block in token_gen:
                 produced.extend(block.tolist())
-            wav = self.token2wav(
-                state,
+            wav = self.synthesize_offline(
                 np.asarray(produced, np.int32),
                 flow_prompt_speech_token.astype(np.int32),
                 prompt_speech_feat,
                 flow_embedding,
-                token_offset=0,
-                stream=False,
-                finalize=True,
                 speed=speed,
             )
             yield {"tts_speech": wav}
