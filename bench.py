@@ -160,6 +160,36 @@ def main():
     w.block_until_ready()
     t2w_dev_s = (time.time() - t0) / n_rep
 
+    # device-resident first-chunk estimate: prefill + first 28-token block +
+    # first streaming flow chunk + first vocoder chunk, all timed on-chip
+    cache3 = lm.init_cache(1)
+    l3, cache3 = lm._jit_prefill(lm_params, jnp.asarray(ids_d), jnp.asarray(types_d), jnp.asarray([len(ids)]), cache3)
+    o3 = lm._jit_decode_block(lm_params, K(9), cache3, jnp.asarray([len(ids)]), l3, dec_args["recent"],
+                              dec_args["n_decoded"], dec_args["min_len"], dec_args["finished"], 28)
+    jax.block_until_ready(o3[0])
+    t0 = time.time()
+    cache3 = lm.init_cache(1)
+    l3, cache3 = lm._jit_prefill(lm_params, jnp.asarray(ids_d), jnp.asarray(types_d), jnp.asarray([len(ids)]), cache3)
+    o3 = lm._jit_decode_block(lm_params, K(10), cache3, jnp.asarray([len(ids)]), l3, dec_args["recent"],
+                              dec_args["n_decoded"], dec_args["min_len"], dec_args["finished"], 28)
+    jax.block_until_ready(o3[0])
+    lm_first_s = time.time() - t0
+
+    # first streaming flow chunk: prompt 50 + 25 body (+3 ctx), bucket 96
+    tok_c = jnp.asarray(np.concatenate([tok_d[:, :75], np.zeros((1, 21), np.int32)], axis=1))
+    ctx_c = jnp.asarray(tok_d[:, 75:78])
+    conds_c = jnp.asarray(np.concatenate([prompt_feat, np.zeros((1, 92, 80), np.float32)], axis=1))
+    m_c = engine._jit_flow(engine.flow_params, tok_c, jnp.asarray([75]), conds_c, emb_j, ctx_c, True)
+    mel_c = jnp.full((1, 64, 80), -11.5)
+    w_c, s_c = engine._jit_hift(engine.hift_params, mel_c, rng_j, jnp.zeros((1, 0)))
+    jax.block_until_ready((m_c, w_c))
+    t0 = time.time()
+    m_c = engine._jit_flow(engine.flow_params, tok_c, jnp.asarray([75]), conds_c, emb_j, ctx_c, True)
+    w_c, s_c = engine._jit_hift(engine.hift_params, mel_c, rng_j, jnp.zeros((1, 0)))
+    jax.block_until_ready((m_c, w_c))
+    first_t2w_s = time.time() - t0
+    first_chunk_dev_ms = (lm_first_s + first_t2w_s) * 1000.0
+
     rtf_dev = (lm_dev_s + t2w_dev_s) / audio_seconds
     rtf_wall = (lm_s + t2w_s) / audio_seconds
     rtf = rtf_dev
@@ -212,6 +242,7 @@ def main():
                 "lm_wall_s": round(lm_s, 3),
                 "t2w_wall_s": round(t2w_s, 3),
                 "audio_s": audio_seconds,
+                "first_chunk_ms_device": round(first_chunk_dev_ms, 1),
                 "first_chunk_ms_wall": round(first_chunk_ms, 1) if first_chunk_ms else None,
                 "compile_s": round(compile_s, 1),
                 "init_s": round(init_s, 1),

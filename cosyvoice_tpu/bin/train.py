@@ -133,11 +133,51 @@ def main():
             }
 
         pipeline = build_pipeline(args, tokenizer)
-    else:  # hifigan
-        raise SystemExit(
-            "GAN training runs through cosyvoice_tpu.train.gan.make_gan_train_steps; "
-            "see tests/test_train.py::TestGAN for the wiring (dual-optimizer loop)."
+    else:  # hifigan: dual-optimizer GAN loop (reference executor.py:85-144)
+        import jax.numpy as jnp
+
+        from cosyvoice_tpu.models.discriminator import MultipleDiscriminator
+        from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+        from cosyvoice_tpu.train.gan import GanLossConfig, make_gan_train_steps
+
+        hift = HiFTGenerator(HiFTConfig())
+        disc = MultipleDiscriminator()
+        with init_on_cpu():
+            gen_params = hift.init(key, jnp.zeros((1, 8, 80)), key)
+            disc_params = disc.init(key, jnp.zeros((1, 24480)))
+        gen_params = to_default_device(gen_params)
+        disc_params = to_default_device(disc_params)
+        g_opt = optax.adam(2e-4)
+        d_opt = optax.adam(2e-4)
+        gen_step, disc_step = make_gan_train_steps(
+            hift, disc, g_opt, d_opt, GanLossConfig(sample_rate=args.sample_rate, mel_hop=args.mel_hop)
         )
+        g_state, d_state = g_opt.init(gen_params), d_opt.init(disc_params)
+
+        dataset = Dataset(args.train_data, build_pipeline(args, tokenizer, gan=True), rank=rank, world_size=world)
+        executor = Executor(lambda *a: a, args.model_dir, model_name="hift", log_interval=args.log_interval, rank=rank)
+        import jax as _jax
+
+        step_no = 0
+        for epoch in range(args.max_epoch):
+            dataset.set_epoch(epoch)
+            for b in iter(dataset):
+                batch = {
+                    "speech": _jax.numpy.asarray(b["speech"]),
+                    "speech_feat": _jax.numpy.asarray(b["speech_feat"]),
+                    "pitch_feat": _jax.numpy.asarray(b["pitch_feat"]),
+                }
+                k = _jax.random.fold_in(key, step_no)
+                gen_params, g_state, gm = gen_step(gen_params, g_state, disc_params, batch, k)
+                disc_params, d_state, dm = disc_step(disc_params, d_state, gen_params, batch, k)
+                step_no += 1
+                if step_no % args.log_interval == 0:
+                    logging.info("gan step %d gen=%.4f disc=%.4f", step_no, float(gm["loss"]), float(dm["loss"]))
+            if rank == 0:
+                executor.epoch = epoch
+                executor.step = step_no
+                executor.save({"generator": gen_params, "discriminator": disc_params}, (g_state, d_state))
+        return
 
     dataset = Dataset(args.train_data, pipeline, rank=rank, world_size=world)
     executor = Executor(
