@@ -99,22 +99,6 @@ def main():
     wav = run_t2w(tokens)
     compile_s = time.time() - t0
 
-    # timed wall-clock runs (includes host<->device transfers; on this test
-    # rig the TPU sits behind a network tunnel with ~30-90 ms per round trip,
-    # so wall numbers measure the tunnel, not the chip)
-    n_runs = 3
-    lm_times, t2w_times = [], []
-    for _ in range(n_runs):
-        t0 = time.time()
-        tokens = run_lm()
-        lm_times.append(time.time() - t0)
-        t0 = time.time()
-        wav = run_t2w(tokens)
-        t2w_times.append(time.time() - t0)
-
-    lm_s = float(np.median(lm_times))
-    t2w_s = float(np.median(t2w_times))
-
     # ---- device-resident timing (the production number: inputs already on
     # chip, N sequential dispatches, one sync) ----
     c_lm = lm.cfg
@@ -189,6 +173,22 @@ def main():
     jax.block_until_ready((m_c, w_c))
     first_t2w_s = time.time() - t0
     first_chunk_dev_ms = (lm_first_s + first_t2w_s) * 1000.0
+
+    # timed wall-clock runs (includes host<->device transfers; on this test
+    # rig the TPU sits behind a network tunnel with ~30-90 ms per round trip,
+    # so wall numbers measure the tunnel, not the chip)
+    n_runs = 3
+    lm_times, t2w_times = [], []
+    for _ in range(n_runs):
+        t0 = time.time()
+        tokens = run_lm()
+        lm_times.append(time.time() - t0)
+        t0 = time.time()
+        wav = run_t2w(tokens)
+        t2w_times.append(time.time() - t0)
+
+    lm_s = float(np.median(lm_times))
+    t2w_s = float(np.median(t2w_times))
 
     rtf_dev = (lm_dev_s + t2w_dev_s) / audio_seconds
     rtf_wall = (lm_s + t2w_s) / audio_seconds
