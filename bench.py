@@ -98,6 +98,7 @@ def main():
     tokens = run_lm()
     wav = run_t2w(tokens)
     compile_s = time.time() - t0
+    print(f"# warmup done {compile_s:.1f}s", flush=True)
 
     # ---- device-resident timing (the production number: inputs already on
     # chip, N sequential dispatches, one sync) ----
@@ -124,6 +125,7 @@ def main():
         cache2 = o[2]
     jax.block_until_ready(o[0])
     lm_dev_s = (time.time() - t0) / n_rep
+    print(f"# lm_dev {lm_dev_s:.4f}", flush=True)
 
     L = 50 + n_tokens
     Lpad = ((L + 31) // 32) * 32
@@ -143,6 +145,7 @@ def main():
         w = engine._jit_t2w_fused(engine.flow_params, engine.hift_params, tok_j, tl_j, conds_j, emb_j, rng_j, prompt_mel_len=100)
     w.block_until_ready()
     t2w_dev_s = (time.time() - t0) / n_rep
+    print(f"# t2w_dev {t2w_dev_s:.4f}", flush=True)
 
     # device-resident first-chunk estimate: prefill + first 28-token block +
     # first streaming flow chunk + first vocoder chunk, all timed on-chip
@@ -173,6 +176,7 @@ def main():
     jax.block_until_ready((m_c, w_c))
     first_t2w_s = time.time() - t0
     first_chunk_dev_ms = (lm_first_s + first_t2w_s) * 1000.0
+    print(f"# first_chunk_dev {first_chunk_dev_ms:.1f}ms", flush=True)
 
     # timed wall-clock runs (includes host<->device transfers; on this test
     # rig the TPU sits behind a network tunnel with ~30-90 ms per round trip,
@@ -187,6 +191,7 @@ def main():
         wav = run_t2w(tokens)
         t2w_times.append(time.time() - t0)
 
+    print("# wall runs done", flush=True)
     lm_s = float(np.median(lm_times))
     t2w_s = float(np.median(t2w_times))
 

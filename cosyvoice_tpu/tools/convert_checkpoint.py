@@ -76,7 +76,19 @@ class TreeFiller:
     def _p(path):
         return "/".join(getattr(k, "key", str(k)) for k in path)
 
+    def resolve(self, path: str) -> str:
+        """Resolve a path allowing one extra 'conv' nesting level (the causal
+        conv wrappers nest their inner conv under 'conv')."""
+        if path in self.shapes:
+            return path
+        head, leaf = path.rsplit("/", 1)
+        alt = f"{head}/conv/{leaf}"
+        if alt in self.shapes:
+            return alt
+        return path
+
     def put(self, path: str, value: np.ndarray):
+        path = self.resolve(path)
         assert path in self.shapes, f"unknown flax path {path}"
         assert tuple(self.shapes[path]) == tuple(value.shape), (
             f"shape mismatch at {path}: flax {self.shapes[path]} vs torch {value.shape}"
@@ -130,8 +142,11 @@ def convert_hift(sd: Dict[str, np.ndarray], template: dict) -> dict:
     wn_conv("conv_post", f"{p}/conv_post")
 
     n_ups = len([k for k in sd if re.match(r"ups\.\d+\.weight_v", k)])
+    # causal HiFT replaces ConvTranspose ups with CausalConv1dUpsample
+    # (regular convs, generator.py:626-637); detect by the nested layout
+    causal_ups = tf.resolve(f"{p}/ups_0/v") != f"{p}/ups_0/v"
     for i in range(n_ups):
-        wn_convT(f"ups.{i}", f"{p}/ups_{i}")
+        (wn_conv if causal_ups else wn_convT)(f"ups.{i}", f"{p}/ups_{i}")
 
     def resblock(torch_prefix, flax_prefix, n_convs):
         for j in range(n_convs):
@@ -329,7 +344,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    assert args.version == 2, "v1/v3 converters follow the same mapping rules; wire them as needed"
+    assert args.version in (2, 3), "the v1 converter follows the same mapping rules; wire it as needed"
 
     from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
     from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
@@ -338,17 +353,28 @@ def main():
 
     os.makedirs(args.out_dir, exist_ok=True)
     with init_on_cpu():
-        lm = Qwen2LM(LMConfig())
-        flow = CausalFlow(FlowConfig())
-        hift = HiFTGenerator(HiFTConfig())
         k = jax.random.PRNGKey(0)
+        if args.version == 3:
+            from cosyvoice_tpu.models.dit import DiTConfig
+
+            lm = Qwen2LM(LMConfig(speech_token_size=6561, num_special_head=200, special_in_speech_table=True))
+            flow = CausalFlow(
+                FlowConfig(input_size=80, encoder_type="dit_prelookahead", estimator_type="dit", dit=DiTConfig())
+            )
+            hift = HiFTGenerator(HiFTConfig(causal=True))
+            lm_conv, flow_conv = convert_llm_v3, convert_flow_v3
+        else:
+            lm = Qwen2LM(LMConfig())
+            flow = CausalFlow(FlowConfig())
+            hift = HiFTGenerator(HiFTConfig())
+            lm_conv, flow_conv = convert_llm_v2, convert_flow_v2
         lm_t = lm.init(k)
         flow_t = flow.init(k)
         hift_t = hift.init(k, jnp.zeros((1, 8, 80)), k)
 
     for name, conv_fn, template in (
-        ("llm", convert_llm_v2, lm_t),
-        ("flow", convert_flow_v2, flow_t),
+        ("llm", lm_conv, lm_t),
+        ("flow", flow_conv, flow_t),
         ("hift", convert_hift, hift_t),
     ):
         src = os.path.join(args.model_dir, f"{name}.pt")
@@ -363,3 +389,100 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---------------------------------------------------------------------------
+# LLM v3 (CosyVoice3LM): same Qwen2 backbone; sos/task live in the speech
+# table, llm_decoder has no bias, no llm_embedding (llm/llm.py:664-706)
+# ---------------------------------------------------------------------------
+
+def convert_llm_v3(sd: Dict[str, np.ndarray], template: dict) -> dict:
+    sd = dict(sd)
+    sd.setdefault("llm_decoder.bias", None)
+    tf = TreeFiller(template)
+    used = set()
+    p = "params"
+    tf.put(f"{p}/speech_embedding/embedding", sd["speech_embedding.weight"]); used.add("speech_embedding.weight")
+    tf.put(f"{p}/llm_decoder/kernel", _lin(sd["llm_decoder.weight"])); used.add("llm_decoder.weight")
+    q = "llm.model.model"
+    tf.put(f"{p}/llm/embed_tokens/embedding", sd[f"{q}.embed_tokens.weight"]); used.add(f"{q}.embed_tokens.weight")
+    tf.put(f"{p}/llm/norm/weight", sd[f"{q}.norm.weight"]); used.add(f"{q}.norm.weight")
+    n_layers = len({m.group(1) for k in sd if (m := re.match(rf"{re.escape(q)}\.layers\.(\d+)\.", k))})
+    for i in range(n_layers):
+        t = f"{q}.layers.{i}"
+        f = f"{p}/llm/layers_{i}"
+        qw, kw, vw = sd[f"{t}.self_attn.q_proj.weight"], sd[f"{t}.self_attn.k_proj.weight"], sd[f"{t}.self_attn.v_proj.weight"]
+        qb, kb, vb = sd[f"{t}.self_attn.q_proj.bias"], sd[f"{t}.self_attn.k_proj.bias"], sd[f"{t}.self_attn.v_proj.bias"]
+        tf.put(f"{f}/self_attn/qkv_proj/kernel", _lin(np.concatenate([qw, kw, vw], axis=0)))
+        tf.put(f"{f}/self_attn/qkv_proj/bias", np.concatenate([qb, kb, vb]))
+        tf.put(f"{f}/self_attn/o_proj/kernel", _lin(sd[f"{t}.self_attn.o_proj.weight"]))
+        gw, uw = sd[f"{t}.mlp.gate_proj.weight"], sd[f"{t}.mlp.up_proj.weight"]
+        tf.put(f"{f}/mlp/gate_up_proj/kernel", _lin(np.concatenate([gw, uw], axis=0)))
+        tf.put(f"{f}/mlp/down_proj/kernel", _lin(sd[f"{t}.mlp.down_proj.weight"]))
+        tf.put(f"{f}/input_layernorm/weight", sd[f"{t}.input_layernorm.weight"])
+        tf.put(f"{f}/post_attention_layernorm/weight", sd[f"{t}.post_attention_layernorm.weight"])
+        used.update({
+            f"{t}.self_attn.q_proj.weight", f"{t}.self_attn.k_proj.weight", f"{t}.self_attn.v_proj.weight",
+            f"{t}.self_attn.q_proj.bias", f"{t}.self_attn.k_proj.bias", f"{t}.self_attn.v_proj.bias",
+            f"{t}.self_attn.o_proj.weight", f"{t}.mlp.gate_proj.weight", f"{t}.mlp.up_proj.weight",
+            f"{t}.mlp.down_proj.weight", f"{t}.input_layernorm.weight", f"{t}.post_attention_layernorm.weight",
+        })
+    leftover = {
+        k for k in set(sd) - used
+        if "rotary_emb" not in k and not k.startswith("llm.model.lm_head") and "criterion" not in k
+        and sd.get(k) is not None
+    }
+    assert not leftover, f"unconsumed torch keys: {sorted(leftover)[:10]}"
+    return tf.build()
+
+
+# ---------------------------------------------------------------------------
+# Flow v3 (CausalMaskedDiffWithDiT, flow.pt) -> {"encoder", "estimator"}
+# ---------------------------------------------------------------------------
+
+def convert_flow_v3(sd: Dict[str, np.ndarray], template: dict) -> dict:
+    enc = TreeFiller(template["encoder"])
+    est = TreeFiller(template["estimator"])
+    used = set()
+    p = "params"
+
+    def lin(t, f, filler, bias=True):
+        filler.put(f"{f}/kernel", _lin(sd[f"{t}.weight"])); used.add(f"{t}.weight")
+        if bias:
+            filler.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    def conv(t, f, filler, bias=True):
+        filler.put(f"{f}/kernel", _conv(sd[f"{t}.weight"])); used.add(f"{t}.weight")
+        if bias:
+            filler.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    # encoder side: embedding + spk affine + pre-lookahead (flow.py:310-313)
+    enc.put(f"{p}/input_embedding/embedding", sd["input_embedding.weight"]); used.add("input_embedding.weight")
+    lin("spk_embed_affine_layer", f"{p}/spk_embed_affine_layer", enc)
+    conv("pre_lookahead_layer.conv1", f"{p}/pre_lookahead_layer/conv1", enc)
+    conv("pre_lookahead_layer.conv2", f"{p}/pre_lookahead_layer/conv2", enc)
+
+    # DiT estimator (DiT/dit.py:104-176 + modules.py)
+    d = "decoder.estimator"
+    lin(f"{d}.time_embed.time_mlp.0", f"{p}/time_embed/mlp1", est)
+    lin(f"{d}.time_embed.time_mlp.2", f"{p}/time_embed/mlp2", est)
+    lin(f"{d}.input_embed.proj", f"{p}/input_proj", est)
+    conv(f"{d}.input_embed.conv_pos_embed.conv1.0", f"{p}/conv_pos/conv1", est)
+    conv(f"{d}.input_embed.conv_pos_embed.conv2.0", f"{p}/conv_pos/conv2", est)
+    n_blocks = len({m.group(1) for k in sd if (m := re.match(rf"{re.escape(d)}\.transformer_blocks\.(\d+)\.", k))})
+    for i in range(n_blocks):
+        t = f"{d}.transformer_blocks.{i}"
+        f = f"{p}/blocks_{i}"
+        lin(f"{t}.attn_norm.linear", f"{f}/adaln", est)
+        lin(f"{t}.attn.to_q", f"{f}/to_q", est)
+        lin(f"{t}.attn.to_k", f"{f}/to_k", est)
+        lin(f"{t}.attn.to_v", f"{f}/to_v", est)
+        lin(f"{t}.attn.to_out.0", f"{f}/to_out", est)
+        lin(f"{t}.ff.ff.0.0", f"{f}/ff_in", est)
+        lin(f"{t}.ff.ff.2", f"{f}/ff_out", est)
+    lin(f"{d}.norm_out.linear", f"{p}/final_adaln", est)
+    lin(f"{d}.proj_out", f"{p}/proj_out", est)
+
+    leftover = {k for k in set(sd) - used if "rand_noise" not in k and "rotary" not in k}
+    assert not leftover, f"unconsumed torch keys: {sorted(leftover)[:12]}"
+    return {"encoder": enc.build(), "estimator": est.build()}

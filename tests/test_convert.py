@@ -291,3 +291,62 @@ def _flax_to_torch_estimator(keys, arr):
             return f"{d}.final_proj.weight", np.ascontiguousarray(arr.transpose(2, 1, 0))
         return f"{d}.final_proj.{name}", arr
     raise KeyError(keys)
+
+
+class TestV3Conversion:
+    def test_dit_flow_structural(self):
+        """v3 flow converter: synthetic reference-shaped sd fills every leaf."""
+        from cosyvoice_tpu.models.dit import DiTConfig
+        from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
+        from cosyvoice_tpu.models.flow_matching import CFMConfig
+        from cosyvoice_tpu.tools.convert_checkpoint import convert_flow_v3
+
+        dim, depth, heads, hd = 32, 2, 2, 8
+        flow = CausalFlow(
+            FlowConfig(
+                input_size=80, vocab_size=50, encoder_type="dit_prelookahead", estimator_type="dit",
+                dit_lookahead_channels=24,
+                dit=DiTConfig(dim=dim, depth=depth, heads=heads, dim_head=hd, ff_mult=2, freq_embed_dim=16),
+                cfm=CFMConfig(n_timesteps=1),
+            )
+        )
+        template = flow.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+
+        def lin(out_d, in_d):
+            return rng.standard_normal((out_d, in_d)).astype(np.float32) * 0.02
+
+        def conv(out_c, in_c, k):
+            return rng.standard_normal((out_c, in_c, k)).astype(np.float32) * 0.02
+
+        inner = heads * hd
+        sd = {
+            "input_embedding.weight": rng.standard_normal((50, 80)).astype(np.float32),
+            "spk_embed_affine_layer.weight": lin(80, 192), "spk_embed_affine_layer.bias": np.zeros(80, np.float32),
+            "pre_lookahead_layer.conv1.weight": conv(24, 80, 4), "pre_lookahead_layer.conv1.bias": np.zeros(24, np.float32),
+            "pre_lookahead_layer.conv2.weight": conv(80, 24, 3), "pre_lookahead_layer.conv2.bias": np.zeros(80, np.float32),
+        }
+        d = "decoder.estimator"
+        sd[f"{d}.time_embed.time_mlp.0.weight"] = lin(dim, 16); sd[f"{d}.time_embed.time_mlp.0.bias"] = np.zeros(dim, np.float32)
+        sd[f"{d}.time_embed.time_mlp.2.weight"] = lin(dim, dim); sd[f"{d}.time_embed.time_mlp.2.bias"] = np.zeros(dim, np.float32)
+        sd[f"{d}.input_embed.proj.weight"] = lin(dim, 320); sd[f"{d}.input_embed.proj.bias"] = np.zeros(dim, np.float32)
+        for c in ("conv1", "conv2"):
+            sd[f"{d}.input_embed.conv_pos_embed.{c}.0.weight"] = rng.standard_normal((dim, dim // 16, 31)).astype(np.float32) * 0.02
+            sd[f"{d}.input_embed.conv_pos_embed.{c}.0.bias"] = np.zeros(dim, np.float32)
+        for i in range(depth):
+            t = f"{d}.transformer_blocks.{i}"
+            sd[f"{t}.attn_norm.linear.weight"] = lin(dim * 6, dim); sd[f"{t}.attn_norm.linear.bias"] = np.zeros(dim * 6, np.float32)
+            for n in ("to_q", "to_k", "to_v"):
+                sd[f"{t}.attn.{n}.weight"] = lin(inner, dim); sd[f"{t}.attn.{n}.bias"] = np.zeros(inner, np.float32)
+            sd[f"{t}.attn.to_out.0.weight"] = lin(dim, inner); sd[f"{t}.attn.to_out.0.bias"] = np.zeros(dim, np.float32)
+            sd[f"{t}.ff.ff.0.0.weight"] = lin(dim * 2, dim); sd[f"{t}.ff.ff.0.0.bias"] = np.zeros(dim * 2, np.float32)
+            sd[f"{t}.ff.ff.2.weight"] = lin(dim, dim * 2); sd[f"{t}.ff.ff.2.bias"] = np.zeros(dim, np.float32)
+        sd[f"{d}.norm_out.linear.weight"] = lin(dim * 2, dim); sd[f"{d}.norm_out.linear.bias"] = np.zeros(dim * 2, np.float32)
+        sd[f"{d}.proj_out.weight"] = lin(80, dim); sd[f"{d}.proj_out.bias"] = np.zeros(80, np.float32)
+
+        params = convert_flow_v3(sd, template)
+        # converted params must actually run
+        tok = jnp.asarray(np.random.default_rng(1).integers(0, 50, (1, 8)), jnp.int32)
+        mel = flow.inference(params, tok, jnp.asarray([8]), jnp.zeros((1, 16, 80)),
+                             jnp.asarray(np.random.default_rng(2).standard_normal((1, 192)), jnp.float32))
+        assert np.isfinite(np.asarray(mel)).all()
