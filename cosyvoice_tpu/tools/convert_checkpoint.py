@@ -344,7 +344,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    assert args.version in (2, 3), "the v1 converter follows the same mapping rules; wire it as needed"
 
     from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
     from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
@@ -354,7 +353,18 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     with init_on_cpu():
         k = jax.random.PRNGKey(0)
-        if args.version == 3:
+        if args.version == 1:
+            from cosyvoice_tpu.models.flow_v1 import FlowV1Config, MaskedDiffFlow
+            from cosyvoice_tpu.models.llm_v1 import LMv1Config, TransformerLM
+
+            lm = TransformerLM(LMv1Config())
+            flow = MaskedDiffFlow(FlowV1Config())
+            hift = HiFTGenerator(
+                HiFTConfig(sampling_rate=22050, upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
+                           source_resblock_kernel_sizes=(7, 11), source_resblock_dilations=((1, 3, 5), (1, 3, 5)))
+            )
+            lm_conv, flow_conv = convert_llm_v1, convert_flow_v1
+        elif args.version == 3:
             from cosyvoice_tpu.models.dit import DiTConfig
 
             lm = Qwen2LM(LMConfig(speech_token_size=6561, num_special_head=200, special_in_speech_table=True))
@@ -484,5 +494,205 @@ def convert_flow_v3(sd: Dict[str, np.ndarray], template: dict) -> dict:
     lin(f"{d}.proj_out", f"{p}/proj_out", est)
 
     leftover = {k for k in set(sd) - used if "rand_noise" not in k and "rotary" not in k}
+    assert not leftover, f"unconsumed torch keys: {sorted(leftover)[:12]}"
+    return {"encoder": enc.build(), "estimator": est.build()}
+
+
+# ---------------------------------------------------------------------------
+# shared: WeNet conformer/transformer layer mapping
+# ---------------------------------------------------------------------------
+
+def _conformer_layer(sd, used, filler, t, f, flat_attn=False):
+    """Map one WeNet encoder layer. flat_attn=True targets RelPosDecoderLayer
+    (llm_v1.py) where attention linears/FFN live at the layer level."""
+
+    def lin(tt, ff, bias=True):
+        filler.put(f"{ff}/kernel", _lin(sd[f"{tt}.weight"])); used.add(f"{tt}.weight")
+        if bias:
+            filler.put(f"{ff}/bias", sd[f"{tt}.bias"]); used.add(f"{tt}.bias")
+
+    def ln(tt, ff):
+        filler.put(f"{ff}/scale", sd[f"{tt}.weight"]); used.add(f"{tt}.weight")
+        filler.put(f"{ff}/bias", sd[f"{tt}.bias"]); used.add(f"{tt}.bias")
+
+    attn = f if flat_attn else f"{f}/self_attn"
+    for name in ("linear_q", "linear_k", "linear_v", "linear_out"):
+        lin(f"{t}.self_attn.{name}", f"{attn}/{name}")
+    lin(f"{t}.self_attn.linear_pos", f"{attn}/linear_pos", bias=False)
+    filler.put(f"{attn}/pos_bias_u", sd[f"{t}.self_attn.pos_bias_u"]); used.add(f"{t}.self_attn.pos_bias_u")
+    filler.put(f"{attn}/pos_bias_v", sd[f"{t}.self_attn.pos_bias_v"]); used.add(f"{t}.self_attn.pos_bias_v")
+    if flat_attn:
+        lin(f"{t}.feed_forward.w_1", f"{f}/ff_w1")
+        lin(f"{t}.feed_forward.w_2", f"{f}/ff_w2")
+    else:
+        lin(f"{t}.feed_forward.w_1", f"{f}/feed_forward/w_1")
+        lin(f"{t}.feed_forward.w_2", f"{f}/feed_forward/w_2")
+    # reference ConformerEncoderLayer: norm_mha/norm_ff; TransformerEncoderLayer: norm1/norm2
+    src_mha = f"{t}.norm_mha" if f"{t}.norm_mha.weight" in sd else f"{t}.norm1"
+    src_ff = f"{t}.norm_ff" if f"{t}.norm_ff.weight" in sd else f"{t}.norm2"
+    ln(src_mha, f"{f}/norm_mha")
+    ln(src_ff, f"{f}/norm_ff")
+
+
+def _wenet_encoder(sd, used, filler, t_prefix, f_prefix, layer_list_name="encoders"):
+    def lin(tt, ff, bias=True):
+        filler.put(f"{ff}/kernel", _lin(sd[f"{tt}.weight"])); used.add(f"{tt}.weight")
+        if bias:
+            filler.put(f"{ff}/bias", sd[f"{tt}.bias"]); used.add(f"{tt}.bias")
+
+    def ln(tt, ff):
+        filler.put(f"{ff}/scale", sd[f"{tt}.weight"]); used.add(f"{tt}.weight")
+        filler.put(f"{ff}/bias", sd[f"{tt}.bias"]); used.add(f"{tt}.bias")
+
+    lin(f"{t_prefix}.embed.out.0", f"{f_prefix}/embed/out_dense")
+    ln(f"{t_prefix}.embed.out.1", f"{f_prefix}/embed/out_norm")
+    n = len({m.group(1) for k in sd if (m := re.match(rf"{re.escape(t_prefix)}\.encoders\.(\d+)\.", k))})
+    for i in range(n):
+        _conformer_layer(sd, used, filler, f"{t_prefix}.encoders.{i}", f"{f_prefix}/{layer_list_name}_{i}")
+    ln(f"{t_prefix}.after_norm", f"{f_prefix}/after_norm")
+
+
+# ---------------------------------------------------------------------------
+# LLM v1 (TransformerLM, llm.pt) -> TransformerLMModule params
+# ---------------------------------------------------------------------------
+
+def convert_llm_v1(sd: Dict[str, np.ndarray], template: dict) -> dict:
+    tf = TreeFiller(template)
+    used = set()
+    p = "params"
+
+    def lin(t, f, bias=True):
+        tf.put(f"{f}/kernel", _lin(sd[f"{t}.weight"])); used.add(f"{t}.weight")
+        if bias:
+            tf.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    def ln(t, f):
+        tf.put(f"{f}/scale", sd[f"{t}.weight"]); used.add(f"{t}.weight")
+        tf.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    for name in ("text_embedding", "llm_embedding", "speech_embedding"):
+        tf.put(f"{p}/{name}/embedding", sd[f"{name}.weight"]); used.add(f"{name}.weight")
+    lin("text_encoder_affine_layer", f"{p}/text_encoder_affine_layer")
+    lin("spk_embed_affine_layer", f"{p}/spk_embed_affine_layer")
+    lin("llm_decoder", f"{p}/llm_decoder")
+    _wenet_encoder(sd, used, tf, "text_encoder", f"{p}/text_encoder")
+    # llm body: linear_legacy embed + rel-pos transformer layers
+    lin("llm.embed.out.0", f"{p}/lm_embed/out_dense")
+    ln("llm.embed.out.1", f"{p}/lm_embed/out_norm")
+    n = len({m.group(1) for k in sd if (m := re.match(r"llm\.encoders\.(\d+)\.", k))})
+    for i in range(n):
+        _conformer_layer(sd, used, tf, f"llm.encoders.{i}", f"{p}/lm_layers_{i}", flat_attn=True)
+    ln("llm.after_norm", f"{p}/lm_after_norm")
+
+    leftover = {k for k in set(sd) - used if "criterion" not in k and "pe" not in k.split(".")[-1]}
+    assert not leftover, f"unconsumed torch keys: {sorted(leftover)[:10]}"
+    return tf.build()
+
+
+# ---------------------------------------------------------------------------
+# Flow v1 (MaskedDiffWithXvec, flow.pt) -> {"encoder", "estimator"}
+# ---------------------------------------------------------------------------
+
+def convert_flow_v1(sd: Dict[str, np.ndarray], template: dict) -> dict:
+    enc = TreeFiller(template["encoder"])
+    est = TreeFiller(template["estimator"])
+    used = set()
+    p = "params"
+
+    def lin(t, f, filler, bias=True):
+        filler.put(f"{f}/kernel", _lin(sd[f"{t}.weight"])); used.add(f"{t}.weight")
+        if bias:
+            filler.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    def ln(t, f, filler):
+        filler.put(f"{f}/scale", sd[f"{t}.weight"]); used.add(f"{t}.weight")
+        filler.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    def conv(t, f, filler, bias=True):
+        filler.put(f"{f}/kernel", _conv(sd[f"{t}.weight"])); used.add(f"{t}.weight")
+        if bias:
+            filler.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    def gn(t, f, filler):
+        filler.put(f"{f}/scale", sd[f"{t}.weight"]); used.add(f"{t}.weight")
+        filler.put(f"{f}/bias", sd[f"{t}.bias"]); used.add(f"{t}.bias")
+
+    enc.put(f"{p}/input_embedding/embedding", sd["input_embedding.weight"]); used.add("input_embedding.weight")
+    lin("spk_embed_affine_layer", f"{p}/spk_embed_affine_layer", enc)
+    lin("encoder_proj", f"{p}/encoder_proj", enc)
+    _wenet_encoder(sd, used, enc, "encoder", f"{p}/encoder")
+    # length regulator conv stack (length_regulator.py:29-42): Sequential of
+    # [Conv,GN,Mish]*n + Conv1x1 -> indices 3k (conv), 3k+1 (GN), last (proj)
+    n_reg = len({m.group(1) for k in sd if (m := re.match(r"length_regulator\.model\.(\d+)\.weight", k))}) - 1
+    n_layers = n_reg // 3 + (1 if n_reg % 3 else 0)
+    i = 0
+    idx = 0
+    while f"length_regulator.model.{idx}.weight" in sd and sd[f"length_regulator.model.{idx}.weight"].ndim == 3 and f"length_regulator.model.{idx + 1}.weight" in sd:
+        conv(f"length_regulator.model.{idx}", f"{p}/regulator/conv_{i}", enc)
+        gn(f"length_regulator.model.{idx + 1}", f"{p}/regulator/norm_{i}", enc)
+        i += 1
+        idx += 3
+    conv(f"length_regulator.model.{idx}", f"{p}/regulator/proj", enc)
+
+    # non-causal estimator (matcha Block1D: conv .0 / GroupNorm .1)
+    d = "decoder.estimator"
+    lin(f"{d}.time_mlp.linear_1", f"{p}/time_mlp/linear_1", est)
+    lin(f"{d}.time_mlp.linear_2", f"{p}/time_mlp/linear_2", est)
+
+    def block(t, f):
+        conv(f"{t}.block.0", f"{f}/conv", est)
+        gn(f"{t}.block.1", f"{f}/norm", est)
+
+    def resnet(t, f):
+        block(f"{t}.block1", f"{f}/block1")
+        block(f"{t}.block2", f"{f}/block2")
+        lin(f"{t}.mlp.1", f"{f}/mlp", est)
+        conv(f"{t}.res_conv", f"{f}/res_conv", est)
+
+    def tblock(t, f):
+        ln(f"{t}.norm1", f"{f}/norm1", est)
+        ln(f"{t}.norm3", f"{f}/norm3", est)
+        for n in ("to_q", "to_k", "to_v"):
+            lin(f"{t}.attn1.{n}", f"{f}/attn1/{n}", est, bias=False)
+        lin(f"{t}.attn1.to_out.0", f"{f}/attn1/to_out", est)
+        lin(f"{t}.ff.net.0.proj", f"{f}/ff_in", est)
+        lin(f"{t}.ff.net.2", f"{f}/ff_out", est)
+
+    def convT_plain(t, f):
+        # plain ConvTranspose1d onto WNConvTranspose params: w == g*v/||v||
+        # exactly when v = w and g = per-in-channel norm of w
+        w = _convT(sd[f"{t}.weight"])  # [k, in, out]
+        est.put(f"{f}/v", w)
+        est.put(f"{f}/g", np.sqrt((w.astype(np.float64) ** 2).sum(axis=(0, 2))).astype(np.float32))
+        est.put(f"{f}/bias", sd[f"{t}.bias"])
+        used.update({f"{t}.weight", f"{t}.bias"})
+
+    n_levels = len({m.group(1) for k in sd if (m := re.match(rf"{re.escape(d)}\.down_blocks\.(\d+)\.", k))})
+    n_tf = len({m.group(1) for k in sd if (m := re.match(rf"{re.escape(d)}\.down_blocks\.0\.1\.(\d+)\.", k))})
+    for lv in range(n_levels):
+        resnet(f"{d}.down_blocks.{lv}.0", f"{p}/down_resnet_{lv}")
+        for j in range(n_tf):
+            tblock(f"{d}.down_blocks.{lv}.1.{j}", f"{p}/down_tf_{lv}_{j}")
+        if lv < n_levels - 1:
+            conv(f"{d}.down_blocks.{lv}.2.conv", f"{p}/downsample_{lv}/conv", est)
+        else:
+            conv(f"{d}.down_blocks.{lv}.2", f"{p}/down_post_{lv}", est)
+    n_mid = len({m.group(1) for k in sd if (m := re.match(rf"{re.escape(d)}\.mid_blocks\.(\d+)\.", k))})
+    for i in range(n_mid):
+        resnet(f"{d}.mid_blocks.{i}.0", f"{p}/mid_resnet_{i}")
+        for j in range(n_tf):
+            tblock(f"{d}.mid_blocks.{i}.1.{j}", f"{p}/mid_tf_{i}_{j}")
+    for lv in range(n_levels):
+        resnet(f"{d}.up_blocks.{lv}.0", f"{p}/up_resnet_{lv}")
+        for j in range(n_tf):
+            tblock(f"{d}.up_blocks.{lv}.1.{j}", f"{p}/up_tf_{lv}_{j}")
+        if lv < n_levels - 1:
+            convT_plain(f"{d}.up_blocks.{lv}.2.conv", f"{p}/upsample_{lv}/conv")
+        else:
+            conv(f"{d}.up_blocks.{lv}.2", f"{p}/up_post_{lv}", est)
+    block(f"{d}.final_block", f"{p}/final_block")
+    conv(f"{d}.final_proj", f"{p}/final_proj", est)
+
+    leftover = {k for k in set(sd) - used if "rand_noise" not in k}
     assert not leftover, f"unconsumed torch keys: {sorted(leftover)[:12]}"
     return {"encoder": enc.build(), "estimator": est.build()}

@@ -350,3 +350,73 @@ class TestV3Conversion:
         mel = flow.inference(params, tok, jnp.asarray([8]), jnp.zeros((1, 16, 80)),
                              jnp.asarray(np.random.default_rng(2).standard_normal((1, 192)), jnp.float32))
         assert np.isfinite(np.asarray(mel)).all()
+
+
+class TestV1Conversion:
+    def test_transformer_lm_activation_match(self):
+        """v1 TransformerLM: reference prompt forward == our prepare() logits."""
+        from cosyvoice.llm.llm import TransformerLM as TorchLM
+        from cosyvoice.transformer.encoder import ConformerEncoder as TorchConf
+        from cosyvoice.transformer.encoder import TransformerEncoder as TorchTrans
+
+        from cosyvoice_tpu.models.llm_v1 import LMv1Config, TransformerLM
+        from cosyvoice_tpu.tools.convert_checkpoint import convert_llm_v1
+
+        torch.manual_seed(0)
+        t_lm = TorchLM(
+            text_encoder_input_size=16, llm_input_size=32, llm_output_size=32,
+            text_token_size=50, speech_token_size=30,
+            text_encoder=TorchConf(
+                input_size=16, output_size=32, attention_heads=2, linear_units=48, num_blocks=1,
+                dropout_rate=0.0, positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+                input_layer="linear", pos_enc_layer_type="rel_pos_espnet",
+                selfattention_layer_type="rel_selfattn", use_cnn_module=False, macaron_style=False,
+                static_chunk_size=1,
+            ),
+            llm=TorchTrans(
+                input_size=32, output_size=32, attention_heads=2, linear_units=48, num_blocks=2,
+                dropout_rate=0.0, positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+                input_layer="linear_legacy", pos_enc_layer_type="rel_pos_espnet",
+                selfattention_layer_type="rel_selfattn", static_chunk_size=1,
+            ),
+            sampling=None,
+        ).eval()
+
+        j_lm = TransformerLM(
+            LMv1Config(
+                text_encoder_input_size=16, llm_input_size=32, llm_output_size=32,
+                text_token_size=50, speech_token_size=30,
+                te_heads=2, te_linear_units=48, te_blocks=1,
+                lm_heads=2, lm_linear_units=48, lm_blocks=2, max_cache_len=256,
+            )
+        )
+        template = j_lm.init(K(0))
+        params = convert_llm_v1(sd_numpy(t_lm), template)
+
+        rng = np.random.default_rng(0)
+        text = rng.integers(0, 50, 6).astype(np.int64)
+        speech = rng.integers(0, 30, 4).astype(np.int64)
+        spk = rng.standard_normal((1, 192)).astype(np.float32)
+
+        with torch.no_grad():
+            text_emb = t_lm.text_embedding(torch.from_numpy(text)[None])
+            h, _ = t_lm.encode(text_emb, torch.tensor([6]))
+            emb_n = torch.nn.functional.normalize(torch.from_numpy(spk), dim=1)
+            spk_emb = t_lm.spk_embed_affine_layer(emb_n)[:, None]
+            sos = t_lm.llm_embedding.weight[0].reshape(1, 1, -1)
+            task = t_lm.llm_embedding.weight[1].reshape(1, 1, -1)
+            sp_emb = t_lm.speech_embedding(torch.from_numpy(speech)[None])
+            lm_input = torch.cat([sos, spk_emb, h, task, sp_emb], dim=1)
+            out, _ = t_lm.llm(lm_input, torch.tensor([lm_input.shape[1]]), decoding_chunk_size=1,
+                              num_decoding_left_chunks=-1)
+            ref_logits = t_lm.llm_decoder(out[:, -1])
+
+        # ours: bucketed prepare
+        tp = np.zeros((1, 32), np.int32); tp[0, :6] = text
+        pp = np.zeros((1, 32), np.int32); pp[0, :4] = speech
+        k, v = j_lm.init_cache(1)
+        logits, _, _, total = j_lm._jit_prepare(
+            params, jnp.asarray(tp), jnp.asarray([6]), jnp.asarray(spk), jnp.asarray(pp), jnp.asarray([4]), k, v
+        )
+        assert int(total[0]) == lm_input.shape[1]
+        np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=3e-3)
