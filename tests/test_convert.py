@@ -420,3 +420,130 @@ class TestV1Conversion:
         )
         assert int(total[0]) == lm_input.shape[1]
         np.testing.assert_allclose(np.asarray(logits), ref_logits.numpy(), atol=3e-3)
+
+
+class TestV1FlowConversion:
+    def test_v1_flow_conversion_and_run(self):
+        """v1 flow converter: real torch conformer encoder + regulator convs,
+        synthetic reference-shaped non-causal estimator; converted params must
+        fill completely, match the regulator numerically, and run."""
+        from cosyvoice.transformer.encoder import ConformerEncoder as TorchConf
+
+        from cosyvoice_tpu.models.flow_decoder import EstimatorConfig
+        from cosyvoice_tpu.models.flow_matching import CFMConfig
+        from cosyvoice_tpu.models.flow_v1 import FlowV1Config, MaskedDiffFlow
+        from cosyvoice_tpu.tools.convert_checkpoint import convert_flow_v1
+
+        torch.manual_seed(0)
+        dim = 32
+        t_enc = TorchConf(
+            input_size=dim, output_size=dim, attention_heads=2, linear_units=48, num_blocks=1,
+            dropout_rate=0.0, positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+            input_layer="linear", pos_enc_layer_type="rel_pos_espnet",
+            selfattention_layer_type="rel_selfattn", use_cnn_module=False, macaron_style=False,
+        ).eval()
+        # regulator: [Conv,GN,Mish] x2 + Conv1x1 (length_regulator.py:29-42)
+        t_reg = torch.nn.Sequential(
+            torch.nn.Conv1d(80, 80, 3, 1, 1), torch.nn.GroupNorm(1, 80), torch.nn.Mish(),
+            torch.nn.Conv1d(80, 80, 3, 1, 1), torch.nn.GroupNorm(1, 80), torch.nn.Mish(),
+            torch.nn.Conv1d(80, 80, 1, 1),
+        ).eval()
+
+        flow = MaskedDiffFlow(
+            FlowV1Config(
+                input_size=dim, vocab_size=40, attention_heads=2, linear_units=48, num_blocks=1,
+                regulator_ratios=(1, 1),
+                estimator=EstimatorConfig(channels=(16, 16), attention_head_dim=8, n_blocks=1,
+                                          num_mid_blocks=1, num_heads=2, causal=False),
+                cfm=CFMConfig(n_timesteps=2),
+            )
+        )
+        template = flow.init(K(0))
+
+        sd = sd_numpy(t_enc, prefix="encoder.")
+        sd.update(sd_numpy(t_reg, prefix="length_regulator.model."))
+        rng = np.random.default_rng(0)
+        sd["input_embedding.weight"] = rng.standard_normal((40, dim)).astype(np.float32)
+        for name, (o, i) in (("spk_embed_affine_layer", (80, 192)), ("encoder_proj", (80, dim))):
+            sd[f"{name}.weight"] = rng.standard_normal((o, i)).astype(np.float32) * 0.02
+            sd[f"{name}.bias"] = np.zeros(o, np.float32)
+        sd.update(_fake_v1_estimator_sd(rng))
+
+        params = convert_flow_v1(sd, template)
+
+        # regulator activation match
+        x = rng.standard_normal((1, 10, 80)).astype(np.float32)
+        with torch.no_grad():
+            ref = t_reg(torch.from_numpy(x.transpose(0, 2, 1))).numpy().transpose(0, 2, 1)
+        ours = flow.encoder.apply(
+            params["encoder"], jnp.asarray(x),
+            method=lambda m, xx: m.regulator(xx),
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+        # end-to-end inference with converted params
+        tok = jnp.asarray(rng.integers(0, 40, (1, 30)), jnp.int32)
+        pf = jnp.asarray(rng.random((1, 7, 80)), jnp.float32)
+        emb = jnp.asarray(rng.standard_normal((1, 192)), jnp.float32)
+        mel, cache = flow.inference(params, K(1), tok, 4, pf, emb)
+        assert np.isfinite(np.asarray(mel)).all()
+
+
+def _fake_v1_estimator_sd(rng):
+    """Reference-shaped tensors for a tiny non-causal ConditionalDecoder
+    (channels (16,16), 1 tf block, 1 mid block)."""
+    d = "decoder.estimator"
+    sd = {}
+
+    def lin(key, o, i):
+        sd[f"{key}.weight"] = rng.standard_normal((o, i)).astype(np.float32) * 0.02
+        sd[f"{key}.bias"] = np.zeros(o, np.float32)
+
+    def conv(key, o, i, k):
+        sd[f"{key}.weight"] = rng.standard_normal((o, i, k)).astype(np.float32) * 0.02
+        sd[f"{key}.bias"] = np.zeros(o, np.float32)
+
+    def gn(key, c):
+        sd[f"{key}.weight"] = np.ones(c, np.float32)
+        sd[f"{key}.bias"] = np.zeros(c, np.float32)
+
+    def block(key, i, o):
+        conv(f"{key}.block.0", o, i, 3)
+        gn(f"{key}.block.1", o)
+
+    def resnet(key, i, o, tdim=64):
+        block(f"{key}.block1", i, o)
+        block(f"{key}.block2", o, o)
+        lin(f"{key}.mlp.1", o, tdim)
+        conv(f"{key}.res_conv", o, i, 1)
+
+    def tblock(key, dim=16, inner=16):
+        gn(f"{key}.norm1", dim)
+        gn(f"{key}.norm3", dim)
+        for n in ("to_q", "to_k", "to_v"):
+            sd[f"{key}.attn1.{n}.weight"] = rng.standard_normal((inner, dim)).astype(np.float32) * 0.02
+        lin(f"{key}.attn1.to_out.0", dim, inner)
+        lin(f"{key}.ff.net.0.proj", dim * 4, dim)
+        lin(f"{key}.ff.net.2", dim, dim * 4)
+
+    lin(f"{d}.time_mlp.linear_1", 64, 320)
+    lin(f"{d}.time_mlp.linear_2", 64, 64)
+    resnet(f"{d}.down_blocks.0.0", 320, 16)
+    tblock(f"{d}.down_blocks.0.1.0")
+    conv(f"{d}.down_blocks.0.2.conv", 16, 16, 3)  # Downsample1D
+    resnet(f"{d}.down_blocks.1.0", 16, 16)
+    tblock(f"{d}.down_blocks.1.1.0")
+    conv(f"{d}.down_blocks.1.2", 16, 16, 3)  # last level: plain conv
+    resnet(f"{d}.mid_blocks.0.0", 16, 16)
+    tblock(f"{d}.mid_blocks.0.1.0")
+    resnet(f"{d}.up_blocks.0.0", 32, 16)
+    tblock(f"{d}.up_blocks.0.1.0")
+    # Upsample1D ConvTranspose [in, out, k]
+    sd[f"{d}.up_blocks.0.2.conv.weight"] = rng.standard_normal((16, 16, 4)).astype(np.float32) * 0.02
+    sd[f"{d}.up_blocks.0.2.conv.bias"] = np.zeros(16, np.float32)
+    resnet(f"{d}.up_blocks.1.0", 32, 16)
+    tblock(f"{d}.up_blocks.1.1.0")
+    conv(f"{d}.up_blocks.1.2", 16, 16, 3)
+    block(f"{d}.final_block", 16, 16)
+    conv(f"{d}.final_proj", 80, 16, 1)
+    return sd
