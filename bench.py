@@ -162,18 +162,24 @@ def main():
     jax.block_until_ready(o3[0])
     lm_first_s = time.time() - t0
 
-    # first streaming flow chunk: prompt 50 + 25 body (+3 ctx), bucket 96
+    # first streaming chunk through the FUSED stream program (flow prefix +
+    # chunk slice + HiFT + caches in one XLA call): prompt 50 + 25 body
+    # (+3 ctx), token bucket 96, chunk_mel 50
     tok_c = jnp.asarray(np.concatenate([tok_d[:, :75], np.zeros((1, 21), np.int32)], axis=1))
     ctx_c = jnp.asarray(tok_d[:, 75:78])
     conds_c = jnp.asarray(np.concatenate([prompt_feat, np.zeros((1, 92, 80), np.float32)], axis=1))
-    m_c = engine._jit_flow(engine.flow_params, tok_c, jnp.asarray([75]), conds_c, emb_j, ctx_c, True)
-    mel_c = jnp.full((1, 64, 80), -11.5)
-    w_c, s_c = engine._jit_hift(engine.hift_params, mel_c, rng_j, jnp.zeros((1, 0)))
-    jax.block_until_ready((m_c, w_c))
+    zmel = jnp.zeros((1, engine.mel_cache_len, 80))
+    zsrc = jnp.zeros((1, engine.source_cache_len))
+    def stream_args(key):
+        # vary the rng so the timed call can't hit any result cache
+        return (engine.flow_params, engine.hift_params, tok_c, jnp.asarray([75]), conds_c,
+                emb_j, ctx_c, key, zmel, zsrc, zsrc, jnp.asarray(0))
+
+    out_c = engine._jit_t2w_stream(*stream_args(K(11)), prompt_mel_len=100, chunk_mel=50, first=True)
+    jax.block_until_ready(out_c)
     t0 = time.time()
-    m_c = engine._jit_flow(engine.flow_params, tok_c, jnp.asarray([75]), conds_c, emb_j, ctx_c, True)
-    w_c, s_c = engine._jit_hift(engine.hift_params, mel_c, rng_j, jnp.zeros((1, 0)))
-    jax.block_until_ready((m_c, w_c))
+    out_c = engine._jit_t2w_stream(*stream_args(K(12)), prompt_mel_len=100, chunk_mel=50, first=True)
+    jax.block_until_ready(out_c)
     first_t2w_s = time.time() - t0
     first_chunk_dev_ms = (lm_first_s + first_t2w_s) * 1000.0
     print(f"# first_chunk_dev {first_chunk_dev_ms:.1f}ms", flush=True)

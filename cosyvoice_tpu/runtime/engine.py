@@ -97,6 +97,14 @@ class CosyVoice2Engine:
         # program — the mel never leaves the chip (one upload, one wav
         # download; critical when the host<->device link has latency)
         self._jit_t2w_fused = jax.jit(self._t2w_fused_impl, static_argnames=("prompt_mel_len",))
+        # fused STREAMING chunk: flow prefix recompute + chunk slice + HiFT
+        # cache splice + vocoder + cross-fade in ONE device program, with the
+        # mel/source/speech caches living on device between chunks — one
+        # host<->device round trip per streaming chunk instead of four.
+        self.fused_stream = True
+        self._jit_t2w_stream = jax.jit(
+            self._t2w_stream_impl, static_argnames=("prompt_mel_len", "chunk_mel", "first")
+        )
 
     def _t2w_fused_impl(self, flow_params, hift_params, tok, token_len, conds, emb, rng, prompt_mel_len: int):
         mel = self.flow.inference(flow_params, tok, token_len, conds, emb, streaming=False)
@@ -106,6 +114,84 @@ class CosyVoice2Engine:
         mel = jnp.where(valid, mel, LOG_SILENCE)
         wav, _ = self.hift.apply(hift_params, mel, rng, method="inference")
         return wav
+
+    def _t2w_stream_impl(
+        self,
+        flow_params,
+        hift_params,
+        tok,
+        token_len,
+        conds,
+        emb,
+        ctx,
+        rng,
+        mel_cache,      # [1, mel_cache_len, 80] (zeros on first chunk)
+        source_cache,   # [1, source_cache_len]
+        speech_cache,   # [1, source_cache_len]
+        token_offset,   # [] traced
+        prompt_mel_len: int,
+        chunk_mel: int,
+        first: bool,
+    ):
+        """One fused streaming chunk: flow prefix recompute -> slice the new
+        chunk's mel -> splice HiFT caches -> vocode -> hamming cross-fade.
+        Everything (incl. the carried caches) stays on device; only the chunk
+        wav crosses to the host."""
+        mel_full = self.flow.inference(flow_params, tok, token_len, conds, emb, context_token=ctx, streaming=True)
+        start = prompt_mel_len + token_offset * self.token_mel_ratio
+        mel_new = jax.lax.dynamic_slice(mel_full, (0, start, 0), (1, chunk_mel, 80))
+        if first:
+            mel = mel_new
+            wav, src = self.hift.apply(hift_params, mel, rng, method="inference")
+        else:
+            mel = jnp.concatenate([mel_cache, mel_new], axis=1)
+            wav, src = self.hift.apply(hift_params, mel, rng, cache_source=source_cache, method="inference")
+            n = self.source_cache_len
+            w = jnp.asarray(self.speech_window)
+            head = wav[:, :n] * w[n:] + speech_cache * w[:n]
+            wav = jnp.concatenate([head, wav[:, n:]], axis=1)
+        new_mel_cache = mel[:, -self.mel_cache_len :]
+        new_source_cache = src[:, -self.source_cache_len :]
+        new_speech_cache = wav[:, -self.source_cache_len :]
+        return wav[:, : -self.source_cache_len], new_mel_cache, new_source_cache, new_speech_cache
+
+    def _stream_chunk_fused(self, state, tokens, prompt_token, prompt_feat, embedding, token_offset, this_hop):
+        """Device-resident streaming chunk (non-final). Returns host wav."""
+        t_start = time.perf_counter()
+        all_tokens = np.concatenate([prompt_token, tokens])
+        L = len(all_tokens)
+        la = self.pre_lookahead_len
+        body, ctx = all_tokens[:-la], jnp.asarray(all_tokens[None, -la:].astype(np.int32))
+        Lpad = _bucket(L, self.token_bucket)
+        tok = np.zeros((1, Lpad), np.int32)
+        tok[0, : len(body)] = body
+        conds = np.zeros((1, Lpad * self.token_mel_ratio, 80), np.float32)
+        conds[:, : prompt_feat.shape[1]] = prompt_feat
+
+        first = state.hift_mel_cache is None
+        zeros_mel = jnp.zeros((1, self.mel_cache_len, 80), jnp.float32)
+        zeros_src = jnp.zeros((1, self.source_cache_len), jnp.float32)
+        wav, mc, sc, spc = self._jit_t2w_stream(
+            self.flow_params,
+            self.hift_params,
+            jnp.asarray(tok),
+            jnp.asarray([len(body)]),
+            jnp.asarray(conds),
+            jnp.asarray(embedding),
+            ctx,
+            jax.random.PRNGKey(self.seed),
+            state.hift_mel_cache if not first else zeros_mel,
+            state.hift_source_cache if not first else zeros_src,
+            state.hift_speech_cache if not first else zeros_src,
+            jnp.asarray(token_offset),
+            prompt_mel_len=prompt_feat.shape[1],
+            chunk_mel=this_hop * self.token_mel_ratio,
+            first=first,
+        )
+        state.hift_mel_cache, state.hift_source_cache, state.hift_speech_cache = mc, sc, spc
+        out = np.asarray(wav)
+        self.timer.add("stream_chunk", time.perf_counter() - t_start)
+        return out
 
     def synthesize_offline(self, tokens, prompt_token, prompt_feat, embedding, speed: float = 1.0):
         """Single fused device call for the non-streaming path."""
@@ -196,6 +282,13 @@ class CosyVoice2Engine:
         speed: float = 1.0,
     ) -> np.ndarray:
         """Reference cli/model.py:292-326 semantics."""
+        if stream and not finalize and self.fused_stream:
+            this_hop = len(tokens) - token_offset - self.pre_lookahead_len
+            if this_hop <= 0 and state.hift_mel_cache is None:
+                return np.zeros((1, 0), np.float32)
+            return self._stream_chunk_fused(
+                state, tokens, prompt_token, prompt_feat, embedding, token_offset, this_hop
+            )
         all_tokens = np.concatenate([prompt_token, tokens])
         mel = self._flow_chunk(all_tokens, prompt_feat, embedding, streaming=stream, finalize=finalize)
         mel = mel[:, prompt_feat.shape[1] + token_offset * self.token_mel_ratio :]

@@ -30,19 +30,24 @@ def _wav_from_b64(b64: str) -> np.ndarray:
 
 
 def _dispatch(model, endpoint: str, body: dict):
+    stream = bool(body.get("stream", False))
     if endpoint == "inference_sft":
-        return model.inference_sft(body["tts_text"], body["spk_id"])
+        return model.inference_sft(body["tts_text"], body["spk_id"], stream=stream)
     if endpoint == "inference_zero_shot":
         return model.inference_zero_shot(
-            body["tts_text"], body.get("prompt_text", ""), _wav_from_b64(body["prompt_audio_b64"])
+            body["tts_text"], body.get("prompt_text", ""), _wav_from_b64(body["prompt_audio_b64"]),
+            stream=stream,
         )
     if endpoint == "inference_cross_lingual":
-        return model.inference_cross_lingual(body["tts_text"], _wav_from_b64(body["prompt_audio_b64"]))
+        return model.inference_cross_lingual(
+            body["tts_text"], _wav_from_b64(body["prompt_audio_b64"]), stream=stream
+        )
     if endpoint == "inference_instruct":
-        return model.inference_instruct(body["tts_text"], body["spk_id"], body["instruct_text"])
+        return model.inference_instruct(body["tts_text"], body["spk_id"], body["instruct_text"], stream=stream)
     if endpoint == "inference_instruct2":
         return model.inference_instruct2(
-            body["tts_text"], body["instruct_text"], _wav_from_b64(body["prompt_audio_b64"])
+            body["tts_text"], body["instruct_text"], _wav_from_b64(body["prompt_audio_b64"]),
+            stream=stream,
         )
     raise KeyError(endpoint)
 

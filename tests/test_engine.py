@@ -98,6 +98,37 @@ class TestEngine:
         assert stream_wav.shape == off.shape  # same tokens -> same total duration
         assert len(chunks) >= 2
 
+    def test_fused_stream_matches_host_path(self, engine):
+        """The single-program streaming chunk (flow+slice+HiFT caches+vocode+
+        fade fused, caches device-resident) must agree with the host-side
+        multi-call path chunk for chunk. The host path is run with
+        mel_bucket=1 (no vocoder padding) so both paths compute the exact
+        same math — the fused path never pads the vocoder input, while the
+        default host path pads to mel_bucket with log-silence (which the
+        HiFT's non-causal convs see near the chunk tail)."""
+        rng = np.random.default_rng(3)
+        inputs = prompt_inputs(rng)
+        assert engine.fused_stream
+        fused = [o["tts_speech"] for o in engine.tts(**inputs, stream=True, rng_seed=11)]
+        host_eng = CosyVoice2Engine(
+            engine.lm, engine.flow, engine.hift,
+            engine.lm_params, engine.flow_params, engine.hift_params,
+            token_hop_len=CHUNK, token_bucket=16, mel_bucket=1,
+        )
+        host_eng.fused_stream = False
+        host = [o["tts_speech"] for o in host_eng.tts(**inputs, stream=True, rng_seed=11)]
+        assert len(fused) == len(host)
+        # all non-final chunks are exactly the same computation
+        for i, (f, h) in enumerate(zip(fused[:-1], host[:-1])):
+            assert f.shape == h.shape, f"chunk {i}: {f.shape} vs {h.shape}"
+            scale = max(np.abs(h).max(), 1e-6)
+            diff = np.abs(np.asarray(f) - h).max() / scale
+            assert diff < 2e-3, f"chunk {i}: rel diff {diff}"
+        # the finalize chunk goes through the host path in both engines, but
+        # with different mel_buckets (8 vs 1) -> tail padding differences
+        assert fused[-1].shape == host[-1].shape
+        assert np.isfinite(np.asarray(fused[-1])).all()
+
     def test_vc_mode(self, engine):
         rng = np.random.default_rng(1)
         inputs = prompt_inputs(rng)
