@@ -99,6 +99,19 @@ class CosyVoice2:
     def save_spkinfo(self):
         self.frontend.save_spkinfo(os.path.join(self.model_dir or ".", "spk2info.pkl"))
 
+    def enable_continuous_batching(self, max_batch: int = 4, block_size=None):
+        """Serve concurrent requests with ONE shared LM decode loop: every
+        block step decodes all live sessions' next tokens in a single device
+        program over a persistent batched KV arena (the role vLLM plays in
+        the reference serving stack). Call once; inference_* calls from any
+        thread then share the scheduler."""
+        from cosyvoice_tpu.runtime.batch_scheduler import LMBatchScheduler
+
+        sched = LMBatchScheduler(self.lm, self.lm_params, max_batch=max_batch, block_size=block_size)
+        sched.start()
+        self.engine.scheduler = sched
+        return sched
+
     # ---------------- inference modes ----------------
     def _run(self, model_input: dict, stream: bool, speed: float, text_len_s: float):
         start = time.time()

@@ -1,0 +1,221 @@
+"""Continuous batching for the speech-token LM (the vLLM role in the
+reference serving stack, runtime/triton_trtllm + vllm_example.py).
+
+TPU-native design: ONE persistent batched KV arena [L, B, max_cache, H, D]
+lives on device; every decode block is a single fixed-shape XLA program over
+all B slots (`Qwen2LM._decode_block_impl` is batch-general). Sessions join by
+prefilling into a size-1 cache and splicing it into their slot with
+`dynamic_update_slice` — no recompile, no padding waste, no host copies of
+the arena. Finished rows keep sampling eos into a dead slot until reused
+(fixed shapes beat ragged batching on TPU).
+
+Unlike vLLM's paged allocator, the arena is dense per slot: CosyVoice
+sequences are short (<= a few thousand positions), so slot_len == max_cache
+costs less than page-table indirection would.
+
+Sampling note: like any continuously-batched server, the per-request RNG
+stream depends on slot placement, so outputs for a given seed differ from
+the single-session path (they are deterministic for a fixed submission
+order)."""
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Generator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosyvoice_tpu.models.llm import Qwen2LM, TYPE_SPEECH
+
+
+def _insert_cache_slot(batch_cache, slot_cache, b):
+    """Splice a [L, 1, ...] prefilled cache into slot b of [L, B, ...]."""
+    k, v = batch_cache
+    ks, vs = slot_cache
+    k = jax.lax.dynamic_update_slice(k, ks.astype(k.dtype), (0, b, 0, 0, 0))
+    v = jax.lax.dynamic_update_slice(v, vs.astype(v.dtype), (0, b, 0, 0, 0))
+    return k, v
+
+
+@dataclass
+class _Session:
+    handle: "SessionHandle"
+    min_len: int
+    max_len: int
+    produced: int = 0
+    done: bool = False
+
+
+class SessionHandle:
+    """Iterator of np token blocks for one submitted prompt."""
+
+    def __init__(self):
+        self._q: "queue.Queue" = queue.Queue()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            yield item
+
+    def _push(self, toks: np.ndarray):
+        if len(toks):
+            self._q.put(toks)
+
+    def _close(self):
+        self._q.put(None)
+
+
+class LMBatchScheduler:
+    """Continuous-batching decode loop over a fixed number of slots.
+
+    submit() is thread-safe and returns a SessionHandle immediately; a
+    background loop admits pending prompts into free slots (prefill + arena
+    splice) and decodes one block per iteration for ALL active slots in one
+    device call. run with `start()`/`stop()`, or drive synchronously with
+    `step()` for tests."""
+
+    def __init__(self, lm: Qwen2LM, params, max_batch: int = 4,
+                 block_size: Optional[int] = None, seed: int = 1986,
+                 prompt_bucket: int = 128):
+        self.lm = lm
+        self.params = params
+        self.B = max_batch
+        self.block_size = block_size or lm.cfg.block_size
+        self.prompt_bucket = prompt_bucket
+        c = lm.cfg
+
+        self.cache = lm.init_cache(max_batch)
+        self.cur_len = jnp.zeros((max_batch,), jnp.int32)
+        self.logits = jnp.zeros((max_batch, c.head_size), jnp.float32)
+        self.recent = jnp.full((max_batch, c.win_size), -1, jnp.int32)
+        self.n_decoded = jnp.zeros((max_batch,), jnp.int32)
+        self.min_len = jnp.zeros((max_batch,), jnp.int32)
+        self.finished = jnp.ones((max_batch,), bool)  # empty slots are "finished"
+
+        self.slots: List[Optional[_Session]] = [None] * max_batch
+        self.pending: "queue.Queue" = queue.Queue()
+        self.rng = jax.random.PRNGKey(seed)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        self._jit_insert = jax.jit(_insert_cache_slot, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def submit(self, prompt_ids: np.ndarray, prompt_types: np.ndarray,
+               min_len: int, max_len: int) -> SessionHandle:
+        h = SessionHandle()
+        self.pending.put((np.asarray(prompt_ids, np.int32),
+                          np.asarray(prompt_types, np.int32),
+                          _Session(h, int(min_len), int(max_len))))
+        return h
+
+    @property
+    def n_active(self) -> int:
+        return sum(s is not None for s in self.slots)
+
+    # ------------------------------------------------------------------
+    def _admit(self, b: int, prompt_ids, prompt_types, sess: _Session):
+        T = len(prompt_ids)
+        bucket = self.prompt_bucket
+        pad_T = ((T + bucket - 1) // bucket) * bucket
+        ids = np.zeros((1, pad_T), np.int32)
+        types = np.full((1, pad_T), TYPE_SPEECH, np.int32)
+        ids[0, :T] = prompt_ids
+        types[0, :T] = prompt_types
+        slot_cache = self.lm.init_cache(1)
+        logits1, slot_cache = self.lm._jit_prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(types), jnp.asarray([T]), slot_cache
+        )
+        self.cache = self._jit_insert(self.cache, slot_cache, b)
+        self.cur_len = self.cur_len.at[b].set(T)
+        self.logits = self.logits.at[b].set(logits1[0])
+        self.recent = self.recent.at[b].set(-1)
+        self.n_decoded = self.n_decoded.at[b].set(0)
+        self.min_len = self.min_len.at[b].set(sess.min_len)
+        self.finished = self.finished.at[b].set(False)
+        self.slots[b] = sess
+
+    def _retire(self, b: int):
+        sess = self.slots[b]
+        if sess is not None:
+            sess.handle._close()
+        self.slots[b] = None
+        self.finished = self.finished.at[b].set(True)
+
+    # ------------------------------------------------------------------
+    def step(self) -> bool:
+        """Admit pending prompts, then decode one block for all active slots.
+        Returns True if any work was done."""
+        admitted = False
+        for b in range(self.B):
+            if self.slots[b] is None:
+                try:
+                    prompt_ids, prompt_types, sess = self.pending.get_nowait()
+                except queue.Empty:
+                    break
+                self._admit(b, prompt_ids, prompt_types, sess)
+                admitted = True
+        if self.n_active == 0:
+            return admitted
+
+        self.rng, k = jax.random.split(self.rng)
+        tokens, self.logits, self.cache, self.cur_len, self.recent, self.n_decoded, self.finished = (
+            self.lm._jit_decode_block(
+                self.params, k, self.cache, self.cur_len, self.logits, self.recent,
+                self.n_decoded, self.min_len, self.finished, self.block_size,
+            )
+        )
+        toks_np = np.asarray(tokens)
+        fin_np = np.asarray(self.finished)
+        c = self.lm.cfg
+        for b in range(self.B):
+            sess = self.slots[b]
+            if sess is None:
+                continue
+            toks = toks_np[b]
+            stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
+            if len(stop_idx):
+                toks = toks[: stop_idx[0]]
+            toks = toks[: sess.max_len - sess.produced]
+            sess.produced += len(toks)
+            sess.handle._push(toks)
+            if bool(fin_np[b]) or sess.produced >= sess.max_len:
+                self._retire(b)
+        return True
+
+    # ------------------------------------------------------------------
+    def _loop(self):
+        while not self._stop.is_set():
+            with self._lock:
+                worked = self.step()
+            if not worked and self.n_active == 0:
+                # idle: park until a submission arrives (or stop)
+                try:
+                    item = self.pending.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                self.pending.put(item)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30.0)
+            self._thread = None
+        # flush: close all live handles and drain pending submissions
+        for b in range(self.B):
+            self._retire(b)
+        while True:
+            try:
+                _, _, sess = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            sess.handle._close()

@@ -80,6 +80,7 @@ class CosyVoice2Engine:
         self.token_bucket = token_bucket
         self.mel_bucket = mel_bucket
         self.seed = seed
+        self.scheduler = None  # optional LMBatchScheduler (continuous batching)
         self.timer = StageTimer()  # per-stage wall-time accounting (SURVEY §5.1)
 
         self._jit_flow = jax.jit(
@@ -343,13 +344,18 @@ class CosyVoice2Engine:
         speed: float = 1.0,
         source_speech_token: Optional[np.ndarray] = None,  # vc mode
         rng_seed: Optional[int] = None,
+        token_generator=None,  # external LM token stream (e.g. LMBatchScheduler handle)
     ) -> Generator[dict, None, None]:
         """Yields {'tts_speech': np.ndarray [1, n]} chunks."""
         c = self.lm.cfg
         state = SessionState()
         la = self.pre_lookahead_len
 
-        if source_speech_token is not None:
+        if token_generator is not None:
+            # continuous-batching serving: the LM runs in a shared
+            # LMBatchScheduler; this session only does token->wav
+            token_gen = self._squelch(iter(token_generator))
+        elif source_speech_token is not None:
             token_gen = iter([np.asarray(source_speech_token, np.int32)])
         elif hasattr(text_tokens, "__next__"):
             # bi-streaming text input (reference cli/model.py:104-111)
@@ -379,8 +385,13 @@ class CosyVoice2Engine:
             ).astype(np.int32)
             min_len = int(len(text_tokens) * 2)
             max_len = int(len(text_tokens) * 20)
-            rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
-            token_gen = self._squelch(self.lm.generate(self.lm_params, ids, types, rng, min_len, max_len))
+            if self.scheduler is not None:
+                # continuous batching: the shared scheduler decodes this
+                # prompt alongside other live sessions in one device program
+                token_gen = self._squelch(self.scheduler.submit(ids, types, min_len, max_len))
+            else:
+                rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
+                token_gen = self._squelch(self.lm.generate(self.lm_params, ids, types, rng, min_len, max_len))
 
         produced: list = []
 

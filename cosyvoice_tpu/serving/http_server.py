@@ -130,11 +130,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=50000)
     parser.add_argument("--model_dir", type=str, default="")
+    parser.add_argument("--max_batch", type=int, default=0,
+                        help=">0: continuous batching — concurrent requests share one batched LM decode loop")
     args = parser.parse_args()
 
     from cosyvoice_tpu.runtime.api import AutoModel
 
     model = AutoModel(args.model_dir)
+    if args.max_batch > 0:
+        model.enable_continuous_batching(max_batch=args.max_batch)
     try:
         import uvicorn
 
