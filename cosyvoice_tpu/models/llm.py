@@ -80,7 +80,14 @@ class Qwen2LMModule(nn.Module):
         if not c.special_in_speech_table:
             self.llm_embedding = nn.Embed(2, dim)
         self.speech_embedding = nn.Embed(c.head_size, dim)
-        self.llm_decoder = nn.Dense(c.head_size, use_bias=not c.special_in_speech_table)
+        if c.qwen.quant:
+            from cosyvoice_tpu.models.qwen2 import QuantDense
+
+            self.llm_decoder = QuantDense(
+                c.head_size, use_bias=not c.special_in_speech_table, dtype=c.qwen.dtype
+            )
+        else:
+            self.llm_decoder = nn.Dense(c.head_size, use_bias=not c.special_in_speech_table)
 
     # ---------------- embedding of mixed sequences ----------------
     def embed_input(self, ids: jax.Array, types: jax.Array) -> jax.Array:
@@ -118,6 +125,12 @@ class Qwen2LMModule(nn.Module):
         hidden, cache = self.llm.decode_step(emb, cur_len, cache)
         return self.llm_decoder(hidden).astype(jnp.float32), cache
 
+    def decode_step_ragged(self, token: jax.Array, cur_len: jax.Array, cache):
+        """decode_step with per-row positions (continuous batching)."""
+        emb = self.speech_embedding(jnp.minimum(token, self.cfg.head_size - 1))[:, None, :]
+        hidden, cache = self.llm.decode_step_ragged(emb, cur_len, cache)
+        return self.llm_decoder(hidden).astype(jnp.float32), cache
+
     def extend_mixed(self, ids, types, start, cache):
         """Append an exact-shape mixed segment (bistream). Returns (logits
         of the last position, cache)."""
@@ -136,7 +149,7 @@ class Qwen2LM:
             lambda p, ids, types, tl, cache: self.module.apply(p, ids, types, tl, cache, method="prefill")
         )
         self._jit_decode_block = jax.jit(
-            self._decode_block_impl, static_argnames=("block_size", "bistream"), donate_argnums=(2,)
+            self._decode_block_impl, static_argnames=("block_size", "bistream", "ragged"), donate_argnums=(2,)
         )
         self._jit_extend = jax.jit(
             lambda p, ids, types, start, cache: self.module.apply(p, ids, types, start, cache, method="extend_mixed"),
@@ -167,6 +180,7 @@ class Qwen2LM:
         finished,         # [B] bool
         block_size: int,
         bistream: bool = False,
+        ragged: bool = False,  # per-row positions (continuous batching)
     ):
         """Decode up to block_size tokens fully on device.
 
@@ -216,7 +230,10 @@ class Qwen2LM:
                 fin[:, None], rec, jnp.concatenate([rec[:, 1:], tok[:, None]], axis=1)
             )
             n_dec = jnp.where(fin, n_dec, n_dec + 1)
-            logits_next, cache_c = self.module.apply(params, tok_out, cur, cache_c, method="decode_step")
+            logits_next, cache_c = self.module.apply(
+                params, tok_out, cur, cache_c,
+                method="decode_step_ragged" if ragged else "decode_step",
+            )
             cur = cur + jnp.where(fin, 0, 1)
             return (rng_c, cache_c, cur, logits_next, rec, n_dec, fin_next), tok_out
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cosyvoice_tpu.nn.embedding import apply_rope, rope_frequencies
+from cosyvoice_tpu.nn.embedding import apply_rope, apply_rope_batched, rope_frequencies
 
 
 @dataclass(frozen=True)
@@ -38,6 +38,7 @@ class Qwen2Config:
     rope_theta: float = 1e6
     max_cache_len: int = 4096
     dtype: Any = jnp.bfloat16
+    quant: bool = False  # weight-only int8 matmul kernels (ops/quant.py)
 
 
 class RMSNorm(nn.Module):
@@ -49,6 +50,28 @@ class RMSNorm(nn.Module):
         x32 = x.astype(jnp.float32)
         x32 = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + self.eps)
         return (x32 * w).astype(x.dtype)
+
+
+class QuantDense(nn.Module):
+    """Weight-only int8 Dense: kernel stored int8 + per-out-channel fp32
+    scale; HBM streams int8, XLA fuses the upcast+scale into the matmul
+    (the TRT-LLM int8 weight-only role). Populate params with
+    ops.quant.quantize_dense_tree."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kq = self.param("kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones, (1, self.features), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kq.astype(self.dtype)) * scale.astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
 
 
 class Qwen2Attention(nn.Module):
@@ -67,18 +90,33 @@ class Qwen2Attention(nn.Module):
         # (converter note: concat HF q_proj|k_proj|v_proj along out dim.)
         nq = c.num_heads * c.head_dim
         nkv = c.num_kv_heads * c.head_dim
-        qkv = nn.Dense(nq + 2 * nkv, dtype=c.dtype, name="qkv_proj")(x)
+        D = QuantDense if c.quant else nn.Dense
+        qkv = D(nq + 2 * nkv, dtype=c.dtype, name="qkv_proj")(x)
         q, k, v = qkv[..., :nq], qkv[..., nq : nq + nkv], qkv[..., nq + nkv :]
         q = q.reshape(B, S, c.num_heads, c.head_dim)
         k = k.reshape(B, S, c.num_kv_heads, c.head_dim)
         v = v.reshape(B, S, c.num_kv_heads, c.head_dim)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if jnp.ndim(cos) == 3:
+            # ragged batch: per-row positions (continuous batching)
+            q = apply_rope_batched(q, cos, sin)
+            k = apply_rope_batched(k, cos, sin)
+        else:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
 
         if cache is not None:
             ck, cv = cache
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, kv_write_pos, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, kv_write_pos, 0, 0))
+            if jnp.ndim(kv_write_pos) == 0:
+                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, kv_write_pos, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, kv_write_pos, 0, 0))
+            else:
+                # per-row write position (S == 1): masked select instead of a
+                # scatter — full-arena rewrite fuses well on TPU, scatters
+                # don't
+                kpos = jnp.arange(ck.shape[1])
+                sel = (kpos[None, :] == kv_write_pos[:, None])[:, :, None, None]
+                ck = jnp.where(sel, k.astype(ck.dtype), ck)
+                cv = jnp.where(sel, v.astype(cv.dtype), cv)
             k_all, v_all = ck, cv
             new_cache = (ck, cv)
         else:
@@ -93,7 +131,7 @@ class Qwen2Attention(nn.Module):
         scores = scores + mask_bias[:, None]  # bias [B,1,S,T] -> [B,1,1,S,T]
         attn = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
         out = jnp.einsum("bgrst,btgd->bsgrd", attn, v_all).reshape(B, S, c.num_heads * c.head_dim)
-        out = nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="o_proj")(out)
+        out = D(c.hidden_size, use_bias=False, dtype=c.dtype, name="o_proj")(out)
         return out, new_cache
 
 
@@ -103,10 +141,11 @@ class Qwen2MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
+        D = QuantDense if c.quant else nn.Dense
         # fused gate|up (converter note: concat HF gate_proj|up_proj)
-        gu = nn.Dense(2 * c.intermediate_size, use_bias=False, dtype=c.dtype, name="gate_up_proj")(x)
+        gu = D(2 * c.intermediate_size, use_bias=False, dtype=c.dtype, name="gate_up_proj")(x)
         gate, up = jnp.split(gu, 2, axis=-1)
-        return nn.Dense(c.hidden_size, use_bias=False, dtype=c.dtype, name="down_proj")(jax.nn.silu(gate) * up)
+        return D(c.hidden_size, use_bias=False, dtype=c.dtype, name="down_proj")(jax.nn.silu(gate) * up)
 
 
 class Qwen2Layer(nn.Module):
@@ -223,6 +262,30 @@ class Qwen2Model(nn.Module):
         new_cache = []
         for i, layer in enumerate(self.layers):
             x, layer_cache = layer(x, cos, sin, bias, cur_len[0], (cache[0][i], cache[1][i]))
+            new_cache.append(layer_cache)
+        x = self.norm(x)
+        k_stack = jnp.stack([kc for kc, _ in new_cache])
+        v_stack = jnp.stack([vc for _, vc in new_cache])
+        return x[:, 0], (k_stack, v_stack)
+
+    def decode_step_ragged(self, emb, cur_len, cache):
+        """One-token step with PER-ROW positions (continuous batching: slots
+        hold sequences of different lengths). Rope is gathered at each row's
+        own position and the KV arena is written per row; `decode_step`'s
+        uniform-position fast path assumes cur_len is identical across the
+        batch and is kept for the single-session engines."""
+        B = emb.shape[0]
+        c = self.cfg
+        rc, rs = self._rope()
+        cos = rc[cur_len][:, None, :]  # [B, 1, d/2]
+        sin = rs[cur_len][:, None, :]
+        key_pos = jnp.arange(c.max_cache_len)
+        valid = key_pos[None, :] <= cur_len[:, None]
+        bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+        x = emb.astype(c.dtype)
+        new_cache = []
+        for i, layer in enumerate(self.layers):
+            x, layer_cache = layer(x, cos, sin, bias, cur_len, (cache[0][i], cache[1][i]))
             new_cache.append(layer_cache)
         x = self.norm(x)
         k_stack = jnp.stack([kc for kc, _ in new_cache])

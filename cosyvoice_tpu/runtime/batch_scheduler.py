@@ -168,6 +168,7 @@ class LMBatchScheduler:
             self.lm._jit_decode_block(
                 self.params, k, self.cache, self.cur_len, self.logits, self.recent,
                 self.n_decoded, self.min_len, self.finished, self.block_size,
+                ragged=True,  # slots hold different sequence lengths
             )
         )
         toks_np = np.asarray(tokens)

@@ -41,6 +41,46 @@ def make_prompt(cfg, seed=0, n_text=4, n_speech=3):
     return ids, types
 
 
+class TestRaggedDecode:
+    def test_ragged_decode_matches_teacher_forcing(self, lm_and_params):
+        """Rows with DIFFERENT sequence lengths decoded together must match
+        the teacher-forced forward at each row's own position — this is what
+        the uniform decode_step (cur_len[0] rope/write) gets wrong and the
+        scheduler relies on."""
+        lm, params = lm_and_params
+        rng = np.random.default_rng(5)
+        lens = [7, 12]
+        n_steps = 4
+        T_full = max(lens) + n_steps
+        full_ids = rng.integers(0, 20, (2, T_full)).astype(np.int32)
+        full_types = np.full((2, T_full), TYPE_SPEECH, np.int32)
+        lengths = np.array([l + n_steps for l in lens], np.int32)
+        fwd = lm.module.apply(params, jnp.asarray(full_ids), jnp.asarray(full_types),
+                              jnp.asarray(lengths), method="forward_logits")
+        fwd = np.asarray(fwd)
+
+        pad = 16
+        ids = np.zeros((2, pad), np.int32)
+        types = np.full((2, pad), TYPE_SPEECH, np.int32)
+        for b, L in enumerate(lens):
+            ids[b, :L] = full_ids[b, :L]
+        cache = lm.init_cache(2)
+        logits, cache = lm.module.apply(params, jnp.asarray(ids), jnp.asarray(types),
+                                        jnp.asarray(lens), cache, method="prefill")
+        for b, L in enumerate(lens):
+            np.testing.assert_allclose(np.asarray(logits)[b], fwd[b, L - 1], atol=2e-3, rtol=1e-3)
+
+        for s in range(n_steps):
+            tok = jnp.asarray([full_ids[b, lens[b] + s] for b in range(2)])
+            cur = jnp.asarray([lens[b] + s for b in range(2)], jnp.int32)
+            logits, cache = lm.module.apply(params, tok, cur, cache, method="decode_step_ragged")
+            for b, L in enumerate(lens):
+                np.testing.assert_allclose(
+                    np.asarray(logits)[b], fwd[b, L + s], atol=2e-3, rtol=1e-3,
+                    err_msg=f"row {b} step {s}",
+                )
+
+
 class TestBatchScheduler:
     def test_single_session_matches_generate(self, lm_and_params):
         """A lone session in the batched arena must produce the exact token
