@@ -127,6 +127,33 @@ def main():
     lm_dev_s = (time.time() - t0) / n_rep
     print(f"# lm_dev {lm_dev_s:.4f}", flush=True)
 
+    # ---- int8 weight-only LM decode (api quant_lm=True): HBM streams int8
+    # kernels, halving the bandwidth-bound block-decode time ----
+    import dataclasses
+
+    q_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant=True)))
+    with init_on_cpu():
+        q_params = q_lm.init(K(0))  # values don't affect latency
+    q_params = to_default_device(q_params)
+    q_cache = q_lm.init_cache(1)
+    q_logits, q_cache = q_lm._jit_prefill(
+        q_params, jnp.asarray(ids_d), jnp.asarray(types_d), jnp.asarray([len(ids)]), q_cache
+    )
+    qo = q_lm._jit_decode_block(q_params, K(1), q_cache, dec_args["cur_len"], q_logits, dec_args["recent"],
+                                dec_args["n_decoded"], dec_args["min_len"], dec_args["finished"], 125)
+    jax.block_until_ready(qo[0])
+    t0 = time.time()
+    q_cache2 = qo[2]
+    for i in range(n_rep):
+        qo = q_lm._jit_decode_block(q_params, K(20 + i), q_cache2, dec_args["cur_len"], q_logits,
+                                    dec_args["recent"], dec_args["n_decoded"], dec_args["min_len"],
+                                    dec_args["finished"], 125)
+        q_cache2 = qo[2]
+    jax.block_until_ready(qo[0])
+    lm_dev_int8_s = (time.time() - t0) / n_rep
+    print(f"# lm_dev_int8 {lm_dev_int8_s:.4f}", flush=True)
+    del q_params, q_cache, q_cache2, qo, q_logits
+
     L = 50 + n_tokens
     Lpad = ((L + 31) // 32) * 32
     tok_d = np.zeros((1, Lpad), np.int32)
@@ -248,6 +275,8 @@ def main():
                 "unit": "ratio",
                 "vs_baseline": round(baseline / rtf, 4),
                 "lm_device_s": round(lm_dev_s, 4),
+                "lm_device_s_int8": round(lm_dev_int8_s, 4),
+                "rtf_int8_lm": round((lm_dev_int8_s + t2w_dev_s) / audio_seconds, 4),
                 "t2w_device_s": round(t2w_dev_s, 4),
                 "rtf_wall_via_tunnel": round(rtf_wall, 4),
                 "lm_wall_s": round(lm_s, 3),

@@ -53,11 +53,13 @@ class CosyVoice2:
         lm_cfg: Optional[LMConfig] = None,
         flow_cfg: Optional[FlowConfig] = None,
         hift_cfg: Optional[HiFTConfig] = None,
+        quant_lm: bool = False,  # weight-only int8 LM (halves decode HBM traffic)
     ):
         self.model_dir = model_dir
         lm_cfg = lm_cfg or LMConfig()
         flow_cfg = flow_cfg or FlowConfig()
         hift_cfg = hift_cfg or HiFTConfig()
+        self.quant_lm = quant_lm
         self.lm = Qwen2LM(lm_cfg)
         self.flow = CausalFlow(flow_cfg)
         self.hift = HiFTGenerator(hift_cfg)
@@ -77,6 +79,15 @@ class CosyVoice2:
                 logging.info("loaded %s", path)
             else:
                 logging.warning("no checkpoint for %s — using random init", name)
+            if name == "lm" and quant_lm:
+                # quantize the fp checkpoint on host, swap in the int8 module
+                import dataclasses
+
+                from cosyvoice_tpu.ops.quant import quantize_lm_params
+
+                template = quantize_lm_params(template)
+                self.lm = Qwen2LM(dataclasses.replace(
+                    lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant=True)))
             setattr(self, f"{name}_params", to_default_device(template))
 
         self.frontend = CosyVoiceFrontEnd(
