@@ -331,17 +331,103 @@ def convert_flow_v2(sd: Dict[str, np.ndarray], template: dict) -> dict:
 
 # ---------------------------------------------------------------------------
 
+def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict) -> dict:
+    """Speech tokenizer weights (whisper-style encoder + FSQ/VQ quantizer)
+    -> models/speech_tokenizer.py param tree.
+
+    `weights` comes from tools/onnx_reader.read_onnx_weights on the
+    reference's speech_tokenizer_v*.onnx (cli/frontend.py:46-48) or from the
+    public s3tokenizer torch state_dict — both use the whisper module names
+    (conv1/conv2, blocks.N.attn.{query,key,value,out}, blocks.N.mlp.{0,2},
+    attn_ln/mlp_ln/ln_post)."""
+    # normalize: strip common prefixes the exporters add
+    sd = {}
+    for k, v in weights.items():
+        for pre in ("encoder.", "model.", "s3tokenizer."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        sd[k] = np.asarray(v, np.float32)
+
+    filler = TreeFiller(template)
+    P = "params"
+
+    def conv(t, f):
+        filler.put(f"{P}/{f}/kernel", sd[f"{t}.weight"].transpose(2, 1, 0))
+        filler.put(f"{P}/{f}/bias", sd[f"{t}.bias"])
+
+    def linear(t, f, bias=True):
+        filler.put(f"{P}/{f}/kernel", sd[f"{t}.weight"].T)
+        if bias:
+            filler.put(f"{P}/{f}/bias", sd[f"{t}.bias"])
+
+    def ln(t, f):
+        filler.put(f"{P}/{f}/scale", sd[f"{t}.weight"])
+        filler.put(f"{P}/{f}/bias", sd[f"{t}.bias"])
+
+    conv("conv1", "conv1")
+    conv("conv2", "conv2")
+    n_blocks = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    for i in range(n_blocks):
+        t, f = f"blocks.{i}", f"blocks_{i}"
+        ln(f"{t}.attn_ln", f"{f}/attn_ln")
+        linear(f"{t}.attn.query", f"{f}/q")
+        linear(f"{t}.attn.key", f"{f}/k", bias=False)
+        linear(f"{t}.attn.value", f"{f}/v")
+        linear(f"{t}.attn.out", f"{f}/out")
+        ln(f"{t}.mlp_ln", f"{f}/mlp_ln")
+        linear(f"{t}.mlp.0", f"{f}/mlp_in")
+        linear(f"{t}.mlp.2", f"{f}/mlp_out")
+    ln("ln_post", "ln_post")
+
+    def find(cands, shape):
+        for c in cands:
+            if c in sd and sd[c].shape == shape:
+                return sd[c]
+        for k, v in sd.items():  # fall back to unique shape match
+            if v.shape == shape and not k.startswith(("conv1", "conv2", "blocks", "ln_post")):
+                return v
+        raise KeyError(f"no tensor of shape {shape} among candidates {cands}")
+
+    shapes = filler.shapes
+    if f"{P}/conv_ds/kernel" in shapes:
+        d = shapes[f"{P}/conv_ds/kernel"][2]
+        w = find(["conv3.weight", "downsample.conv.weight", "conv_ds.weight"], (d, d, 3))
+        filler.put(f"{P}/conv_ds/kernel", w.transpose(2, 1, 0))
+        filler.put(f"{P}/conv_ds/bias",
+                   find(["conv3.bias", "downsample.conv.bias", "conv_ds.bias"], (d,)))
+    if f"{P}/fsq_proj/kernel" in shapes:
+        n_lv, d = shapes[f"{P}/fsq_proj/kernel"][1], shapes[f"{P}/fsq_proj/kernel"][0]
+        w = find(["quantizer.project_in.weight", "quantizer.project_down.weight",
+                  "fsq.project_in.weight", "proj.weight"], (n_lv, d))
+        filler.put(f"{P}/fsq_proj/kernel", w.T)
+        filler.put(f"{P}/fsq_proj/bias",
+                   find(["quantizer.project_in.bias", "quantizer.project_down.bias",
+                         "fsq.project_in.bias", "proj.bias"], (n_lv,)))
+    if f"{P}/codebook" in shapes:
+        V, d = shapes[f"{P}/codebook"]
+        try:
+            cb = find(["quantizer._codebook.embed", "quantizer.codebook", "codebook"], (V, d))
+        except KeyError:
+            cb = find(["quantizer._codebook.embed"], (1, V, d))[0]
+        filler.put(f"{P}/codebook", cb)
+    return filler.build()
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", required=True, help="reference model dir with llm.pt/flow.pt/hift.pt")
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--version", type=int, default=2)
+    parser.add_argument("--s3_onnx", default="", help="speech_tokenizer_v*.onnx to convert (optional)")
     args = parser.parse_args()
 
     import os
 
     import flax.serialization as ser
     import jax
+
+    # conversion is host-side work; never touch (or require) an accelerator
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
 
@@ -351,50 +437,70 @@ def main():
     from cosyvoice_tpu.utils.devices import init_on_cpu
 
     os.makedirs(args.out_dir, exist_ok=True)
-    with init_on_cpu():
-        k = jax.random.PRNGKey(0)
-        if args.version == 1:
-            from cosyvoice_tpu.models.flow_v1 import FlowV1Config, MaskedDiffFlow
-            from cosyvoice_tpu.models.llm_v1 import LMv1Config, TransformerLM
+    k = jax.random.PRNGKey(0)
+    if args.version == 1:
+        from cosyvoice_tpu.models.flow_v1 import FlowV1Config, MaskedDiffFlow
+        from cosyvoice_tpu.models.llm_v1 import LMv1Config, TransformerLM
 
-            lm = TransformerLM(LMv1Config())
-            flow = MaskedDiffFlow(FlowV1Config())
-            hift = HiFTGenerator(
-                HiFTConfig(sampling_rate=22050, upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
-                           source_resblock_kernel_sizes=(7, 11), source_resblock_dilations=((1, 3, 5), (1, 3, 5)))
-            )
-            lm_conv, flow_conv = convert_llm_v1, convert_flow_v1
-        elif args.version == 3:
-            from cosyvoice_tpu.models.dit import DiTConfig
+        lm = TransformerLM(LMv1Config())
+        flow = MaskedDiffFlow(FlowV1Config())
+        hift = HiFTGenerator(
+            HiFTConfig(sampling_rate=22050, upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
+                       source_resblock_kernel_sizes=(7, 11), source_resblock_dilations=((1, 3, 5), (1, 3, 5)))
+        )
+        lm_conv, flow_conv = convert_llm_v1, convert_flow_v1
+    elif args.version == 3:
+        from cosyvoice_tpu.models.dit import DiTConfig
 
-            lm = Qwen2LM(LMConfig(speech_token_size=6561, num_special_head=200, special_in_speech_table=True))
-            flow = CausalFlow(
-                FlowConfig(input_size=80, encoder_type="dit_prelookahead", estimator_type="dit", dit=DiTConfig())
-            )
-            hift = HiFTGenerator(HiFTConfig(causal=True))
-            lm_conv, flow_conv = convert_llm_v3, convert_flow_v3
-        else:
-            lm = Qwen2LM(LMConfig())
-            flow = CausalFlow(FlowConfig())
-            hift = HiFTGenerator(HiFTConfig())
-            lm_conv, flow_conv = convert_llm_v2, convert_flow_v2
-        lm_t = lm.init(k)
-        flow_t = flow.init(k)
-        hift_t = hift.init(k, jnp.zeros((1, 8, 80)), k)
+        lm = Qwen2LM(LMConfig(speech_token_size=6561, num_special_head=200, special_in_speech_table=True))
+        flow = CausalFlow(
+            FlowConfig(input_size=80, encoder_type="dit_prelookahead", estimator_type="dit", dit=DiTConfig())
+        )
+        hift = HiFTGenerator(HiFTConfig(causal=True))
+        lm_conv, flow_conv = convert_llm_v3, convert_flow_v3
+    else:
+        lm = Qwen2LM(LMConfig())
+        flow = CausalFlow(FlowConfig())
+        hift = HiFTGenerator(HiFTConfig())
+        lm_conv, flow_conv = convert_llm_v2, convert_flow_v2
 
-    for name, conv_fn, template in (
-        ("llm", lm_conv, lm_t),
-        ("flow", flow_conv, flow_t),
-        ("hift", convert_hift, hift_t),
+    # templates are built lazily: converting only --s3_onnx shouldn't pay
+    # three full-size model inits
+    def make_template(name):
+        with init_on_cpu():
+            if name == "llm":
+                return lm.init(k)
+            if name == "flow":
+                return flow.init(k)
+            return hift.init(k, jnp.zeros((1, 8, 80)), k)
+
+    for name, conv_fn in (
+        ("llm", lm_conv),
+        ("flow", flow_conv),
+        ("hift", convert_hift),
     ):
         src = os.path.join(args.model_dir, f"{name}.pt")
         if not os.path.exists(src):
             print(f"skip {name}: {src} not found")
             continue
-        params = conv_fn(load_torch_state(src), template)
+        params = conv_fn(load_torch_state(src), make_template(name))
         with open(os.path.join(args.out_dir, f"{name}.msgpack"), "wb") as f:
             f.write(ser.to_bytes(params))
         print(f"converted {name}")
+
+    if args.s3_onnx:
+        from cosyvoice_tpu.models.speech_tokenizer import S3Tokenizer, S3TokenizerConfig
+        from cosyvoice_tpu.tools.onnx_reader import read_onnx_weights
+
+        s3_cfg = S3TokenizerConfig() if args.version >= 2 else S3TokenizerConfig(
+            codebook_size=4096, use_fsq=False, token_rate_div=1)
+        with init_on_cpu():
+            s3 = S3Tokenizer(s3_cfg)
+            s3_t = s3.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, s3_cfg.n_mels)), jnp.asarray([16]))
+        params = convert_s3_tokenizer(read_onnx_weights(args.s3_onnx), s3_t)
+        with open(os.path.join(args.out_dir, "speech_tokenizer.msgpack"), "wb") as f:
+            f.write(ser.to_bytes(params))
+        print("converted speech_tokenizer")
 
 
 if __name__ == "__main__":

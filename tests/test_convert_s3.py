@@ -1,0 +1,100 @@
+"""S3 speech-tokenizer conversion: activation-match a torch whisper-style
+encoder mirror (the module layout the reference's speech_tokenizer_v*.onnx
+graphs are exported from) against our JAX S3Tokenizer."""
+
+import numpy as np
+import torch
+
+from cosyvoice_tpu.models.speech_tokenizer import S3Tokenizer, S3TokenizerConfig, sinusoids
+from cosyvoice_tpu.tools.convert_checkpoint import convert_s3_tokenizer
+
+import jax
+import jax.numpy as jnp
+
+
+class _TorchBlock(torch.nn.Module):
+    def __init__(self, d, h):
+        super().__init__()
+        self.h = h
+        self.attn_ln = torch.nn.LayerNorm(d)
+        self.attn = torch.nn.Module()
+        self.attn.query = torch.nn.Linear(d, d)
+        self.attn.key = torch.nn.Linear(d, d, bias=False)
+        self.attn.value = torch.nn.Linear(d, d)
+        self.attn.out = torch.nn.Linear(d, d)
+        self.mlp_ln = torch.nn.LayerNorm(d)
+        self.mlp = torch.nn.Sequential(torch.nn.Linear(d, 4 * d), torch.nn.GELU(), torch.nn.Linear(4 * d, d))
+
+    def forward(self, x):
+        hh = self.attn_ln(x)
+        B, T, C = hh.shape
+        hd = C // self.h
+        q = self.attn.query(hh).view(B, T, self.h, hd)
+        k = self.attn.key(hh).view(B, T, self.h, hd)
+        v = self.attn.value(hh).view(B, T, self.h, hd)
+        s = torch.einsum("bthd,bshd->bhts", q, k) / np.sqrt(hd)
+        a = torch.softmax(s, dim=-1)
+        o = torch.einsum("bhts,bshd->bthd", a, v).reshape(B, T, C)
+        x = x + self.attn.out(o)
+        return x + self.mlp(self.mlp_ln(x))
+
+
+class _TorchS3(torch.nn.Module):
+    """Whisper-style encoder + stride-2 downsample + FSQ (v2/v3 layout)."""
+
+    def __init__(self, n_mels=16, d=32, h=4, n_blocks=2, n_levels=8):
+        super().__init__()
+        self.conv1 = torch.nn.Conv1d(n_mels, d, 3, padding=1)
+        self.conv2 = torch.nn.Conv1d(d, d, 3, stride=2, padding=1)
+        self.blocks = torch.nn.ModuleList([_TorchBlock(d, h) for _ in range(n_blocks)])
+        self.ln_post = torch.nn.LayerNorm(d)
+        self.conv3 = torch.nn.Conv1d(d, d, 3, stride=2, padding=1)
+        self.quantizer = torch.nn.Module()
+        self.quantizer.project_in = torch.nn.Linear(d, n_levels)
+
+    def forward(self, mel):  # mel [B, T, n_mels]
+        x = torch.nn.functional.gelu(self.conv1(mel.permute(0, 2, 1)))
+        x = torch.nn.functional.gelu(self.conv2(x)).permute(0, 2, 1)
+        x = x + torch.from_numpy(sinusoids(x.shape[1], x.shape[2]))
+        for b in self.blocks:
+            x = b(x)
+        x = self.ln_post(x)
+        x = torch.nn.functional.gelu(self.conv3(x.permute(0, 2, 1))).permute(0, 2, 1)
+        proj = self.quantizer.project_in(x)
+        q = torch.round(torch.tanh(proj) + 1.0)  # levels=3: half=1
+        strides = torch.from_numpy(np.cumprod([1] + [3] * (proj.shape[-1] - 1)).astype(np.float32))
+        return torch.sum(q * strides, dim=-1).to(torch.int32), proj
+
+
+class TestS3Conversion:
+    def test_activation_match_fsq(self):
+        torch.manual_seed(0)
+        tm = _TorchS3().eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+        cfg = S3TokenizerConfig(n_mels=16, d_model=32, num_heads=4, num_layers=2,
+                                use_fsq=True, fsq_levels=(3,) * 8, token_rate_div=2)
+        s3 = S3Tokenizer(cfg)
+        mel = np.random.default_rng(0).standard_normal((1, 24, 16)).astype(np.float32)
+        template = s3.init(jax.random.PRNGKey(0), jnp.asarray(mel), jnp.asarray([24]))
+        params = convert_s3_tokenizer(sd, template)
+
+        with torch.no_grad():
+            ref_tokens, ref_proj = tm(torch.from_numpy(mel))
+        tokens, tok_len = s3.apply(params, jnp.asarray(mel), jnp.asarray([24]))
+        assert int(tok_len[0]) == 6  # 24 mel -> 12 (conv2) -> 6 (conv3)
+        np.testing.assert_array_equal(np.asarray(tokens)[0], ref_tokens.numpy()[0])
+
+    def test_prefix_normalization(self):
+        """onnx exports often prefix names with 'encoder.' — same result."""
+        torch.manual_seed(0)
+        tm = _TorchS3().eval()
+        sd = {f"encoder.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+        cfg = S3TokenizerConfig(n_mels=16, d_model=32, num_heads=4, num_layers=2,
+                                use_fsq=True, fsq_levels=(3,) * 8, token_rate_div=2)
+        s3 = S3Tokenizer(cfg)
+        mel = np.zeros((1, 8, 16), np.float32)
+        template = s3.init(jax.random.PRNGKey(0), jnp.asarray(mel), jnp.asarray([8]))
+        params = convert_s3_tokenizer(sd, template)
+        leaves = jax.tree_util.tree_leaves(params)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
