@@ -89,12 +89,13 @@ class RelPosDecoderLayer(nn.Module):
         q_v = q + self.pos_bias_v
         ac = jnp.einsum("bthd,bshd->bhts", q_u, k)
         bd = jnp.einsum("bthd,bphd->bhtp", q_v, p[0][None])
-        # rel_shift: out[i, j] = bd[i, j + T-1-i]
+        # rel_shift via the espnet zero-pad + reshape trick (pure layout ops;
+        # the take_along_axis form lowers to a slow TPU gather):
+        # out[i, j] = bd[i, j + T-1-i]
         T = x.shape[1]
-        i = jnp.arange(T)[:, None]
-        j = jnp.arange(T)[None, :]
-        idx = jnp.broadcast_to(j + (T - 1 - i), (x.shape[0], self.heads, T, T))
-        bd = jnp.take_along_axis(bd, idx, axis=-1)
+        Bh, H = bd.shape[0], self.heads
+        bd = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+        bd = bd.reshape(Bh, H, 2 * T, T)[:, :, 1:, :].reshape(Bh, H, T, 2 * T - 1)[..., :T]
         scores = (ac + bd) / np.sqrt(d_k)
         attn = masked_softmax(scores, att_mask)
         o = jnp.einsum("bhts,bshd->bthd", attn, v).reshape(x.shape)

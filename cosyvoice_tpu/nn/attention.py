@@ -85,8 +85,17 @@ class RelPositionMultiHeadAttention(MultiHeadAttention):
 
     @staticmethod
     def rel_shift(bd: jax.Array, t2: int) -> jax.Array:
-        """bd: [B,H,T1,P] with P = 2*T2-1 -> [B,H,T1,T2], out[i,j]=bd[i, j+T1-1-i]."""
+        """bd: [B,H,T1,P] with P = 2*T2-1 -> [B,H,T1,T2], out[i,j]=bd[i, j+T1-1-i].
+
+        Square case uses the espnet zero-pad + reshape trick — pure layout
+        ops. The take_along_axis formulation lowers to a TPU gather, which
+        measured ~8 ms/layer at T=768 (the flow encoder was 84 ms of the
+        118 ms token2wav before this)."""
         B, H, T1, P = bd.shape
+        if t2 == T1 and P == 2 * T1 - 1:
+            x = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B,H,T,2T]
+            x = x.reshape(B, H, 2 * T1, T1)[:, :, 1:, :].reshape(B, H, T1, 2 * T1 - 1)
+            return x[..., :t2]
         i = jnp.arange(T1)[:, None]
         j = jnp.arange(t2)[None, :]
         idx = j + (T1 - 1 - i)  # [T1, T2]
