@@ -161,10 +161,29 @@ class Qwen2LM:
         types = jnp.zeros((1, 8), jnp.int32)
         return self.module.init(rng, ids, types, jnp.asarray([8]), method="forward_logits")
 
-    def init_cache(self, batch: int = 1):
+    ARENA_BUCKET = 512  # KV arena lengths are multiples of this (bounds recompiles)
+
+    def init_cache(self, batch: int = 1, length: Optional[int] = None):
         q = self.cfg.qwen
-        shape = (q.num_layers, batch, q.max_cache_len, q.num_kv_heads, q.head_dim)
+        shape = (q.num_layers, batch, length or q.max_cache_len, q.num_kv_heads, q.head_dim)
         return (jnp.zeros(shape, q.dtype), jnp.zeros(shape, q.dtype))
+
+    def arena_bucket(self, need: int) -> int:
+        """Smallest legal arena length covering `need` positions: HBM reads in
+        the decode attention scale with the arena, so the arena starts small
+        and grows in ARENA_BUCKET steps instead of being preallocated at
+        max_cache_len (the TPU analog of vLLM's paged KV growth)."""
+        b = self.ARENA_BUCKET
+        return min(((need + b - 1) // b) * b, self.cfg.qwen.max_cache_len)
+
+    def grow_cache(self, cache, new_len: int):
+        """Extend the KV arena (axis 2) with zeros to new_len."""
+        k, v = cache
+        pad = new_len - k.shape[2]
+        if pad <= 0:
+            return cache
+        cfgpad = ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))
+        return (jnp.pad(k, cfgpad), jnp.pad(v, cfgpad))
 
     # ---------------- decode ----------------
     def _decode_block_impl(
@@ -267,7 +286,7 @@ class Qwen2LM:
         ids[0, :T] = prompt_ids
         types[0, :T] = prompt_types
 
-        cache = self.init_cache(1)
+        cache = self.init_cache(1, length=self.arena_bucket(pad_T + block_size + 1))
         logits, cache = self._jit_prefill(params, jnp.asarray(ids), jnp.asarray(types), jnp.asarray([T]), cache)
 
         cur_len = jnp.asarray([T])
@@ -277,11 +296,14 @@ class Qwen2LM:
         min_l = jnp.asarray([min_len], jnp.int32)
 
         produced = 0
+        cur_host = T  # host mirror of the worst-case write position
         while produced < max_len and not bool(finished[0]):
+            cache = self.grow_cache(cache, self.arena_bucket(cur_host + block_size + 1))
             rng, k = jax.random.split(rng)
             tokens, logits, cache, cur_len, recent, n_decoded, finished = self._jit_decode_block(
                 params, k, cache, cur_len, logits, recent, n_decoded, min_l, finished, block_size
             )
+            cur_host += block_size
             toks = np.asarray(tokens[0])
             stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
             if len(stop_idx):
@@ -315,8 +337,9 @@ class Qwen2LM:
         c = self.cfg
         mt, ms = c.mix_ratio
 
-        cache = self.init_cache(1)
+        cache = self.init_cache(1, length=self.ARENA_BUCKET)
         cur = jnp.asarray([0])
+        cur_host = 0           # host mirror of the arena write position
         logits = None
         recent = jnp.full((1, c.win_size), -1, jnp.int32)
         n_decoded = jnp.zeros((1,), jnp.int32)
@@ -327,11 +350,13 @@ class Qwen2LM:
         need_text = True       # a fill (or start) demands a text segment next
 
         def feed(ids, types):
-            nonlocal cache, cur, logits
+            nonlocal cache, cur, cur_host, logits
             ids_a = np.asarray(ids, np.int32)[None]
             types_a = np.asarray(types, np.int32)[None]
+            cache = self.grow_cache(cache, self.arena_bucket(cur_host + ids_a.shape[1] + 1))
             logits, cache = self._jit_extend(params, jnp.asarray(ids_a), jnp.asarray(types_a), cur, cache)
             cur = cur + ids_a.shape[1]
+            cur_host += ids_a.shape[1]
 
         feed([c.sos_id], [TYPE_SPECIAL])
         text_cache = list(np.asarray(prompt_text, np.int32))
@@ -340,15 +365,17 @@ class Qwen2LM:
         def decode_span():
             """Decode until the next fill (sampled or forced). Yields arrays;
             returns with the fill recorded in out_count."""
-            nonlocal cache, cur, logits, recent, n_decoded, out_count, produced, next_fill
+            nonlocal cache, cur, cur_host, logits, recent, n_decoded, out_count, produced, next_fill
             while True:
                 steps = max(1, next_fill - out_count)
                 rng_k = jax.random.fold_in(rng, 7919 + out_count)
                 fin0 = jnp.zeros((1,), bool)
+                cache = self.grow_cache(cache, self.arena_bucket(cur_host + steps + 1))
                 tokens, logits, cache, cur, recent, n_decoded, fin = self._jit_decode_block(
                     params, rng_k, cache, cur, logits, recent, n_decoded,
                     jnp.asarray([0], jnp.int32), fin0, steps, True,
                 )
+                cur_host += steps
                 toks = np.asarray(tokens[0])
                 stop = np.nonzero(toks >= c.speech_token_size)[0]
                 if len(stop):
@@ -396,10 +423,12 @@ class Qwen2LM:
         finished = jnp.zeros((1,), bool)
         while produced < max_len and not bool(finished[0]):
             rng, k = jax.random.split(rng)
+            cache = self.grow_cache(cache, self.arena_bucket(cur_host + self.cfg.block_size + 1))
             tokens, logits, cache, cur, recent, n_decoded, finished = self._jit_decode_block(
                 params, k, cache, cur, logits, recent, n_decoded,
                 jnp.asarray([0], jnp.int32), finished, self.cfg.block_size, False,
             )
+            cur_host += self.cfg.block_size
             toks = np.asarray(tokens[0])
             stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
             if len(stop_idx):

@@ -110,13 +110,28 @@ class Qwen2Attention(nn.Module):
                 ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, kv_write_pos, 0, 0))
                 cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, kv_write_pos, 0, 0))
             else:
-                # per-row write position (S == 1): masked select instead of a
-                # scatter — full-arena rewrite fuses well on TPU, scatters
-                # don't
-                kpos = jnp.arange(ck.shape[1])
-                sel = (kpos[None, :] == kv_write_pos[:, None])[:, :, None, None]
-                ck = jnp.where(sel, k.astype(ck.dtype), ck)
-                cv = jnp.where(sel, v.astype(cv.dtype), cv)
+                # per-row write position (S == 1, continuous batching)
+                import os
+
+                impl = os.environ.get("COSY_KV_WRITE", "auto")
+                if impl != "select" and (
+                    jax.default_backend() == "tpu"
+                    and c.num_kv_heads * c.head_dim % 128 == 0
+                    and ck.shape[1] % 8 == 0
+                ):
+                    # Pallas row write: touches one 8-row tile group per row
+                    # instead of rewriting the whole arena (ops/decode_attention)
+                    from cosyvoice_tpu.ops.decode_attention import kv_arena_write_traced
+
+                    ck = kv_arena_write_traced(ck, k, kv_write_pos)
+                    cv = kv_arena_write_traced(cv, v, kv_write_pos)
+                else:
+                    # fallback: masked select (full-arena rewrite, fuses on
+                    # any backend; fine for tests / CPU mesh)
+                    kpos = jnp.arange(ck.shape[1])
+                    sel = (kpos[None, :] == kv_write_pos[:, None])[:, :, None, None]
+                    ck = jnp.where(sel, k.astype(ck.dtype), ck)
+                    cv = jnp.where(sel, v.astype(cv.dtype), cv)
             k_all, v_all = ck, cv
             new_cache = (ck, cv)
         else:
@@ -203,7 +218,7 @@ class Qwen2Model(nn.Module):
         """
         B, S, _ = embeds.shape
         qpos = jnp.arange(S)
-        kpos = jnp.arange(self.cfg.max_cache_len)
+        kpos = jnp.arange(cache[0].shape[2])  # arena length (may be a bucket < max_cache_len)
         causal = kpos[None, None, :] <= qpos[None, :, None]  # [1, S, K]
         valid = kpos[None, None, :] < true_len[:, None, None]  # [B, 1, K]
         bias = jnp.where(causal & valid, 0.0, -1e30).astype(jnp.float32)[:, None, :, :]
@@ -232,7 +247,7 @@ class Qwen2Model(nn.Module):
         rc, rs = self._rope()
         cos = jax.lax.dynamic_slice_in_dim(rc, start[0], S, axis=0)
         sin = jax.lax.dynamic_slice_in_dim(rs, start[0], S, axis=0)
-        kpos = jnp.arange(c.max_cache_len)
+        kpos = jnp.arange(cache[0].shape[2])
         qpos = start[:, None] + jnp.arange(S)[None, :]  # [B, S] global positions
         visible = kpos[None, None, :] <= qpos[:, :, None]  # [B, S, K]
         bias = jnp.where(visible, 0.0, -1e30).astype(jnp.float32)[:, None, :, :]
@@ -255,7 +270,7 @@ class Qwen2Model(nn.Module):
         rc, rs = self._rope()
         cos = jax.lax.dynamic_slice_in_dim(rc, cur_len[0], 1, axis=0)
         sin = jax.lax.dynamic_slice_in_dim(rs, cur_len[0], 1, axis=0)
-        key_pos = jnp.arange(c.max_cache_len)
+        key_pos = jnp.arange(cache[0].shape[2])
         valid = key_pos[None, :] <= cur_len[:, None]  # keys 0..cur_len inclusive (self)
         bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
         x = emb.astype(c.dtype)
@@ -279,7 +294,7 @@ class Qwen2Model(nn.Module):
         rc, rs = self._rope()
         cos = rc[cur_len][:, None, :]  # [B, 1, d/2]
         sin = rs[cur_len][:, None, :]
-        key_pos = jnp.arange(c.max_cache_len)
+        key_pos = jnp.arange(cache[0].shape[2])
         valid = key_pos[None, :] <= cur_len[:, None]
         bias = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
         x = emb.astype(c.dtype)
@@ -292,8 +307,8 @@ class Qwen2Model(nn.Module):
         v_stack = jnp.stack([vc for _, vc in new_cache])
         return x[:, 0], (k_stack, v_stack)
 
-    def init_cache(self, batch: int, dtype=None):
+    def init_cache(self, batch: int, dtype=None, length=None):
         c = self.cfg
         dtype = dtype or c.dtype
-        shape = (c.num_layers, batch, c.max_cache_len, c.num_kv_heads, c.head_dim)
+        shape = (c.num_layers, batch, length or c.max_cache_len, c.num_kv_heads, c.head_dim)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

@@ -1,0 +1,244 @@
+"""Pallas TPU flash-decode attention over the preallocated KV arena.
+
+The LM decode hot loop (models/qwen2.py decode_step/decode_step_ragged) is the
+TPU-native replacement for the reference's vLLM paged attention
+(cosyvoice/cli/model.py:281-290, cosyvoice/llm/llm.py:506-534). The baseline
+XLA path attends with one masked einsum over the FULL arena [B, T_max, Hkv, d]
+every step — at T_max=4096 and batch 8 that streams ~400 MB of dead arena from
+HBM per decode step (the dominant cost of batched decode, measured at the HBM
+bandwidth limit).
+
+This kernel makes decode-attention HBM traffic proportional to the true
+sequence length: grid (B,), and per row an inner fori_loop walks only the
+ceil((cur_len+1)/BLK) live KV blocks, double-buffering manual HBM->VMEM DMAs
+so the next block streams while the current one computes. Dead arena blocks
+are never touched.
+
+GQA is computed grouped (one [rep, d] x [d, BLK] matmul per KV head) — the
+head-repeated KV is never materialized, matching the einsum path's contract.
+The arena is viewed as [B, T, Hkv*d] so DMA slices are lane-aligned (Hkv*d
+must be a multiple of 128 — true for the Qwen2-0.5B layout 2*64).
+
+Numerics: fp32 flash accumulation (running max / renormalized sum), identical
+masking rule to the XLA path (key position <= cur_len, i.e. the current
+token's KV has already been written at cur_len).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(
+    lens_ref,  # scalar prefetch [B]
+    q_ref,  # [1, Hq, d] VMEM (row b)
+    k_hbm,  # [B, T, F] ANY/HBM
+    v_hbm,  # [B, T, F] ANY/HBM
+    o_ref,  # [1, Hq, d] VMEM
+    k_buf,  # [2, BLK, F] VMEM scratch
+    v_buf,  # [2, BLK, F] VMEM scratch
+    sem,  # DMA semaphores [2, 2]
+    *,
+    blk,
+    hkv,
+    rep,
+    scale,
+):
+    b = pl.program_id(0)
+    cur_len = lens_ref[b]
+    n_blocks = cur_len // blk + 1  # live blocks
+    d = q_ref.shape[2]
+    hq = q_ref.shape[1]
+
+    def kv_dma(slot, i):
+        return (
+            pltpu.make_async_copy(k_hbm.at[b, pl.ds(i * blk, blk)], k_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(v_hbm.at[b, pl.ds(i * blk, blk)], v_buf.at[slot], sem.at[slot, 1]),
+        )
+
+    for dma in kv_dma(0, 0):
+        dma.start()
+
+    q = q_ref[0].astype(jnp.float32)  # [Hq, d]
+
+    def body(i, carry):
+        m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,d] fp32
+        slot = jax.lax.rem(i, 2)
+        next_slot = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _prefetch():
+            for dma in kv_dma(next_slot, i + 1):
+                dma.start()
+
+        for dma in kv_dma(slot, i):
+            dma.wait()
+
+        kb = k_buf[slot]  # [BLK, F]
+        vb = v_buf[slot]
+        pos = i * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+        key_mask = pos <= cur_len  # [1, BLK]
+
+        s_groups = []
+        for g in range(hkv):
+            qg = q[g * rep : (g + 1) * rep]  # [rep, d]
+            kg = kb[:, g * d : (g + 1) * d].astype(jnp.float32)  # [BLK, d]
+            s_groups.append(
+                jax.lax.dot_general(
+                    qg, kg, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+            )
+        s = jnp.concatenate(s_groups, axis=0) * scale  # [Hq, BLK]
+        s = jnp.where(key_mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        o_groups = []
+        for g in range(hkv):
+            pg = p[g * rep : (g + 1) * rep]
+            vg = vb[:, g * d : (g + 1) * d].astype(jnp.float32)
+            o_groups.append(
+                jax.lax.dot_general(
+                    pg, vg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+            )
+        pv = jnp.concatenate(o_groups, axis=0)  # [Hq, d]
+        return m_new, l_new, acc * corr + pv
+
+    init = (
+        jnp.full((hq, 1), NEG_INF, jnp.float32),
+        jnp.zeros((hq, 1), jnp.float32),
+        jnp.zeros((hq, d), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, init)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+def gqa_decode_attention(q, k_arena, v_arena, cur_len, block_size: int = 512, interpret: bool = False):
+    """Single-token GQA attention against a length-masked KV arena.
+
+    q: [B, Hq, d] query for the current token (rope already applied).
+    k_arena/v_arena: [B, T_max, Hkv, d]; positions <= cur_len[b] are live
+    (the current token's KV must already be written at cur_len[b]).
+    cur_len: [B] int32. Returns [B, Hq, d] in q.dtype.
+    """
+    B, Hq, d = q.shape
+    T = k_arena.shape[1]
+    Hkv = k_arena.shape[2]
+    rep = Hq // Hkv
+    F = Hkv * d
+    assert F % 128 == 0, f"Hkv*d={F} must be lane-aligned (128) for the arena DMA view"
+    blk = min(block_size, T)
+    assert T % blk == 0, f"arena {T} not divisible by block {blk}"
+    scale = 1.0 / np.sqrt(d)
+
+    kf = k_arena.reshape(B, T, F)
+    vf = v_arena.reshape(B, T, F)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hq, d), lambda b, lens: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, d), lambda b, lens: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, blk, F), k_arena.dtype),
+            pltpu.VMEM((2, blk, F), v_arena.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kernel = functools.partial(_decode_kernel, blk=blk, hkv=Hkv, rep=rep, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, d), q.dtype),
+        interpret=interpret,
+    )(cur_len.astype(jnp.int32), q, kf, vf)
+
+
+def gqa_decode_attention_reference(q, k_arena, v_arena, cur_len):
+    """XLA reference (the einsum path in models/qwen2.py), for tests."""
+    B, Hq, d = q.shape
+    Hkv = k_arena.shape[2]
+    rep = Hq // Hkv
+    qg = q.reshape(B, 1, Hkv, rep, d)
+    scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k_arena).astype(jnp.float32) / np.sqrt(d)
+    key_pos = jnp.arange(k_arena.shape[1])
+    valid = key_pos[None, :] <= cur_len[:, None]
+    scores = jnp.where(valid[:, None, None, None, :], scores, NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1).astype(v_arena.dtype)
+    out = jnp.einsum("bgrst,btgd->bsgrd", attn, v_arena).reshape(B, 1, Hq * d)
+    return out.reshape(B, Hq, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# per-row KV arena write (ragged decode): replaces the full-arena
+# jnp.where(sel, new, arena) rewrite — O(arena) HBM write per layer per step —
+# with one row-sized DMA per batch row.
+# ---------------------------------------------------------------------------
+
+
+_KV_GROUP = 8  # sublane tile: the smallest T-aligned block we can move
+
+
+def _kv_write_kernel(pos_ref, new_ref, group_ref, out_ref):
+    b = pl.program_id(0)
+    row = jax.lax.rem(pos_ref[b], _KV_GROUP)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (_KV_GROUP, 1), 0)
+    out_ref[0] = jnp.where(rowid == row, new_ref[0], group_ref[0])
+
+
+def kv_arena_write_traced(arena, new_kv, pos, interpret: bool = False):
+    """Trace-time variant of kv_arena_write for use inside jitted model code
+    (no jit wrapper / donation — the enclosing program owns buffer lifetime)."""
+    return _kv_arena_write(arena, new_kv, pos, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def kv_arena_write(arena, new_kv, pos, interpret: bool = False):
+    """Write new_kv[b] into arena[b, pos[b]] in place (donated).
+
+    Reads+rewrites only the 8-row tile-aligned group holding pos[b] (the
+    smallest legal block for bf16 sublane tiling) instead of the whole arena.
+
+    arena: [B, T, Hkv, d]; new_kv: [B, 1, Hkv, d]; pos: [B] int32."""
+    return _kv_arena_write(arena, new_kv, pos, interpret)
+
+
+def _kv_arena_write(arena, new_kv, pos, interpret: bool = False):
+    B, T, Hkv, d = arena.shape
+    F = Hkv * d
+    assert F % 128 == 0, f"Hkv*d={F} must be lane-aligned (128) for the arena view"
+    assert T % _KV_GROUP == 0
+
+    def group_map(b, pos):
+        return (b, pos[b] // _KV_GROUP, 0)
+
+    out = pl.pallas_call(
+        _kv_write_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 1, F), lambda b, pos: (b, 0, 0)),
+                pl.BlockSpec((1, _KV_GROUP, F), group_map),
+            ],
+            out_specs=pl.BlockSpec((1, _KV_GROUP, F), group_map),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, F), arena.dtype),
+        input_output_aliases={2: 0},  # arena (incl. scalar prefetch idx) -> out
+        interpret=interpret,
+    )(pos.astype(jnp.int32), new_kv.astype(arena.dtype).reshape(B, 1, F), arena.reshape(B, T, F))
+    return out.reshape(B, T, Hkv, d)

@@ -139,3 +139,35 @@ def shard_opt_state_zero(mesh: Mesh, opt_state, params, rule=lm_param_spec):
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(place, opt_state)
+
+
+# ---------------------------------------------------------------------------
+# inference-side parallelism (the vLLM TP / Triton multi-GPU serving role:
+# reference vllm/cosyvoice2.py:64-75, README.Cosyvoice2.DiT.md:104-124).
+# Megatron-style tp over heads/MLP plus dp over request slots; XLA inserts the
+# per-block psum from the param/activation shardings.
+# ---------------------------------------------------------------------------
+
+
+def cache_spec(cache_leaf, mesh: Mesh) -> P:
+    """KV arena [L, B, T, Hkv, d]: batch over 'dp', kv heads over 'tp' when
+    divisible, else replicated on that axis."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    dims = [None] * cache_leaf.ndim
+    if cache_leaf.ndim == 5:
+        if cache_leaf.shape[1] % sizes.get("dp", 1) == 0:
+            dims[1] = "dp"
+        if cache_leaf.shape[3] % sizes.get("tp", 1) == 0:
+            dims[3] = "tp"
+    return P(*dims)
+
+
+def shard_lm_serving(mesh: Mesh, params, cache):
+    """Place LM params (Megatron tp rules) and the KV arena onto the mesh for
+    multi-chip decode. The jitted prefill/decode programs pick up the
+    shardings from their inputs (GSPMD propagation)."""
+    params = shard_params(mesh, params)
+    cache = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, cache_spec(x, mesh))), cache
+    )
+    return params, cache

@@ -90,13 +90,20 @@ class CosyVoice2:
                     lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant=True)))
             setattr(self, f"{name}_params", to_default_device(template))
 
+        self._init_frontend_only(model_dir)
+        self.engine = CosyVoice2Engine(
+            self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed
+        )
+
+    def _init_frontend_only(self, model_dir: str = ""):
+        """Build only the host-side frontend (tokenizer, prompt features,
+        speaker cache). Used stand-alone by the disaggregated-serving gateway,
+        which replaces `self.engine` with a RemoteEngine."""
+        self.model_dir = model_dir
         self.frontend = CosyVoiceFrontEnd(
             token_path=os.path.join(model_dir, "tokenizer") if model_dir else None,
             sample_rate=self.sample_rate,
             spk2info_path=os.path.join(model_dir, "spk2info.pkl") if model_dir else "",
-        )
-        self.engine = CosyVoice2Engine(
-            self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed
         )
 
     # ---------------- speaker cache ----------------

@@ -88,7 +88,11 @@ class LMBatchScheduler:
         self.prompt_bucket = prompt_bucket
         c = lm.cfg
 
-        self.cache = lm.init_cache(max_batch)
+        # the arena starts at one bucket and grows with the live max length;
+        # decode-attention HBM reads scale with the arena, so a small arena
+        # doubles batched-decode throughput vs preallocating max_cache_len
+        self.cache = lm.init_cache(max_batch, length=lm.arena_bucket(self.block_size + 1))
+        self._cur_host = np.zeros((max_batch,), np.int64)  # worst-case write positions
         self.cur_len = jnp.zeros((max_batch,), jnp.int32)
         self.logits = jnp.zeros((max_batch, c.head_size), jnp.float32)
         self.recent = jnp.full((max_batch, c.win_size), -1, jnp.int32)
@@ -127,11 +131,14 @@ class LMBatchScheduler:
         types = np.full((1, pad_T), TYPE_SPEECH, np.int32)
         ids[0, :T] = prompt_ids
         types[0, :T] = prompt_types
-        slot_cache = self.lm.init_cache(1)
+        slot_cache = self.lm.init_cache(1, length=self.lm.arena_bucket(pad_T + 1))
         logits1, slot_cache = self.lm._jit_prefill(
             self.params, jnp.asarray(ids), jnp.asarray(types), jnp.asarray([T]), slot_cache
         )
+        if slot_cache[0].shape[2] > self.cache[0].shape[2]:
+            self.cache = self.lm.grow_cache(self.cache, slot_cache[0].shape[2])
         self.cache = self._jit_insert(self.cache, slot_cache, b)
+        self._cur_host[b] = T
         self.cur_len = self.cur_len.at[b].set(T)
         self.logits = self.logits.at[b].set(logits1[0])
         self.recent = self.recent.at[b].set(-1)
@@ -163,6 +170,10 @@ class LMBatchScheduler:
         if self.n_active == 0:
             return admitted
 
+        live = np.asarray([self._cur_host[b] for b in range(self.B) if self.slots[b] is not None])
+        need = int(live.max()) + self.block_size + 1
+        if need > self.cache[0].shape[2]:
+            self.cache = self.lm.grow_cache(self.cache, self.lm.arena_bucket(need))
         self.rng, k = jax.random.split(self.rng)
         tokens, self.logits, self.cache, self.cur_len, self.recent, self.n_decoded, self.finished = (
             self.lm._jit_decode_block(
@@ -178,6 +189,7 @@ class LMBatchScheduler:
             sess = self.slots[b]
             if sess is None:
                 continue
+            self._cur_host[b] += self.block_size
             toks = toks_np[b]
             stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
             if len(stop_idx):
