@@ -122,27 +122,15 @@ def compute_whisper_fbank(data, num_frames=0):
 
 
 def compute_f0(data, sample_rate=24000, hop_size=480):
-    """F0 via autocorrelation (the reference uses pyworld's dio+stonemask,
-    processor.py:200-222; pyworld is absent here so a YIN-style estimator
-    keeps the pipeline runnable — swap in pyworld when available)."""
+    """F0 per mel frame via native YIN (csrc/f0_yin.cc) — the pyworld
+    harvest/dio+stonemask role in the reference pipeline
+    (processor.py:200-222), interpolated to the mel length like the
+    reference's F.interpolate postprocess (:221)."""
+    from cosyvoice_tpu.ops.f0 import extract_f0
+
     for sample in data:
-        wav = sample["audio"]
         n_frames = sample["speech_feat"].shape[0]
-        frame = int(sample_rate * 0.04)
-        f0 = np.zeros(n_frames, np.float32)
-        for t in range(n_frames):
-            seg = wav[t * hop_size : t * hop_size + frame]
-            if len(seg) < frame or np.abs(seg).max() < 1e-4:
-                continue
-            seg = seg - seg.mean()
-            corr = np.correlate(seg, seg, "full")[frame - 1 :]
-            lo, hi = sample_rate // 500, sample_rate // 60
-            if hi >= len(corr):
-                continue
-            lag = np.argmax(corr[lo:hi]) + lo
-            if corr[lag] > 0.3 * corr[0]:
-                f0[t] = sample_rate / lag
-        sample["pitch_feat"] = f0
+        sample["pitch_feat"] = extract_f0(sample["audio"], sample_rate, hop_size, n_frames)
         yield sample
 
 

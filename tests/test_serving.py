@@ -90,3 +90,20 @@ class TestGRPCServing:
 
         pcm = inference("127.0.0.1", 50912, "sft", tts_text="hi", spk_id="s1")
         assert len(pcm) == 1500
+
+
+class TestBenchClient:
+    def test_sweep_against_stdlib_server(self, http_srv):
+        import base64
+
+        from cosyvoice_tpu.tools.bench_client import sweep
+
+        body = {
+            "tts_text": "hi",
+            "prompt_text": "p",
+            "prompt_audio_b64": base64.b64encode(np.zeros(1600, np.int16).tobytes()).decode(),
+        }
+        res = sweep("127.0.0.1", 50911, "inference_zero_shot", body, [1, 2], 3, 24000)
+        assert len(res) == 2
+        assert res[0]["errors"] == 0 and res[0]["n_requests"] == 3
+        assert res[0]["audio_s_total"] > 0 and res[0]["rtf"] > 0
