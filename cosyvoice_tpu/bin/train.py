@@ -48,7 +48,20 @@ def build_pipeline(args, tokenizer, gan: bool = False):
 
 
 def main():
+    # pre-parse --config so its "train" section becomes the argparse defaults
+    # (explicit CLI flags still win), mirroring the reference's yaml-+-flags
+    # layering (bin/train.py:106-112)
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default="")
+    pre_args, _ = pre.parse_known_args()
+    cfg = {}
+    if pre_args.config:
+        from cosyvoice_tpu.utils.config import load_config
+
+        cfg = load_config(pre_args.config)
+
     parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default="", help="JSON config (model sections + train defaults)")
     parser.add_argument("--model", required=True, choices=["llm", "flow", "hifigan"])
     parser.add_argument("--train_data", required=True)
     parser.add_argument("--cv_data", default="")
@@ -72,6 +85,8 @@ def main():
     parser.add_argument("--dpo", action="store_true")
     parser.add_argument("--seed", type=int, default=1986)
     parser.add_argument("--multihost", action="store_true", help="jax.distributed.initialize()")
+    if cfg.get("train"):
+        parser.set_defaults(**cfg["train"])
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -100,10 +115,11 @@ def main():
     key = jax.random.PRNGKey(args.seed)
 
     if args.model == "llm":
-        from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+        from cosyvoice_tpu.models.llm import Qwen2LM
         from cosyvoice_tpu.train.lm_data import collate_lm_batch
+        from cosyvoice_tpu.utils.config import build_lm_config
 
-        lm = Qwen2LM(LMConfig())
+        lm = Qwen2LM(build_lm_config(cfg.get("llm")))
         with init_on_cpu():
             params = lm.init(key)
         params = to_default_device(params)
@@ -111,9 +127,10 @@ def main():
         collate = lambda b: {k: jax.numpy.asarray(v[None]) for k, v in collate_lm_batch(lm.cfg, b).items()}  # noqa: E731
         pipeline = build_pipeline(args, tokenizer)
     elif args.model == "flow":
-        from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
+        from cosyvoice_tpu.models.flow import CausalFlow
+        from cosyvoice_tpu.utils.config import build_flow_config
 
-        flow = CausalFlow(FlowConfig())
+        flow = CausalFlow(build_flow_config(cfg.get("flow")))
         with init_on_cpu():
             params = flow.init(key)
         params = to_default_device(params)
@@ -137,10 +154,11 @@ def main():
         import jax.numpy as jnp
 
         from cosyvoice_tpu.models.discriminator import MultipleDiscriminator
-        from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
+        from cosyvoice_tpu.models.hift import HiFTGenerator
         from cosyvoice_tpu.train.gan import GanLossConfig, make_gan_train_steps
+        from cosyvoice_tpu.utils.config import build_hift_config
 
-        hift = HiFTGenerator(HiFTConfig())
+        hift = HiFTGenerator(build_hift_config(cfg.get("hift")))
         disc = MultipleDiscriminator()
         with init_on_cpu():
             gen_params = hift.init(key, jnp.zeros((1, 8, 80)), key)

@@ -42,6 +42,14 @@ def _save_msgpack(path, params):
         f.write(ser.to_bytes(params))
 
 
+def _read_dir_config(model_dir: str) -> dict:
+    path = os.path.join(model_dir, "config.json") if model_dir else ""
+    if path and os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
 class CosyVoice2:
     sample_rate = 24000
 
@@ -56,9 +64,14 @@ class CosyVoice2:
         quant_lm: bool = False,  # weight-only int8 LM (halves decode HBM traffic)
     ):
         self.model_dir = model_dir
-        lm_cfg = lm_cfg or LMConfig()
-        flow_cfg = flow_cfg or FlowConfig()
-        hift_cfg = hift_cfg or HiFTConfig()
+        # model dirs may carry a declarative config.json (the reference's
+        # model-dir yaml role, cli/cosyvoice.py:150); explicit cfg args win
+        file_cfg = _read_dir_config(model_dir)
+        from cosyvoice_tpu.utils.config import build_flow_config, build_hift_config, build_lm_config
+
+        lm_cfg = lm_cfg or (build_lm_config(file_cfg["llm"]) if "llm" in file_cfg else LMConfig())
+        flow_cfg = flow_cfg or (build_flow_config(file_cfg["flow"]) if "flow" in file_cfg else FlowConfig())
+        hift_cfg = hift_cfg or (build_hift_config(file_cfg["hift"]) if "hift" in file_cfg else HiFTConfig())
         self.quant_lm = quant_lm
         self.lm = Qwen2LM(lm_cfg)
         self.flow = CausalFlow(flow_cfg)
@@ -206,6 +219,15 @@ class CosyVoice:
         from cosyvoice_tpu.utils.devices import init_on_cpu, to_default_device
 
         self.model_dir = model_dir
+        file_cfg = _read_dir_config(model_dir)
+        from cosyvoice_tpu.utils.config import build_flow_v1_config, build_hift_config, build_lm_v1_config
+
+        if lm_cfg is None and "llm" in file_cfg:
+            lm_cfg = build_lm_v1_config(file_cfg["llm"])
+        if flow_cfg is None and "flow" in file_cfg:
+            flow_cfg = build_flow_v1_config(file_cfg["flow"])
+        if hift_cfg is None and "hift" in file_cfg:
+            hift_cfg = build_hift_config(file_cfg["hift"])
         self.lm = TransformerLM(lm_cfg or LMv1Config())
         self.flow = MaskedDiffFlow(flow_cfg or FlowV1Config())
         self.hift = HiFTGenerator(
@@ -278,13 +300,20 @@ class CosyVoice3(CosyVoice2):
         from cosyvoice_tpu.models.dit import DiTConfig
         from cosyvoice_tpu.runtime.engine import CosyVoice3Engine
 
-        lm_cfg = kwargs.pop("lm_cfg", None) or LMConfig(
-            speech_token_size=6561, num_special_head=200, special_in_speech_table=True
-        )
-        flow_cfg = kwargs.pop("flow_cfg", None) or FlowConfig(
-            input_size=80, encoder_type="dit_prelookahead", estimator_type="dit", dit=DiTConfig()
-        )
-        hift_cfg = kwargs.pop("hift_cfg", None) or HiFTConfig(causal=True)
+        # v3 defaults apply only when neither an explicit cfg arg nor a
+        # config.json section provides one (super() builds from config.json)
+        file_cfg = _read_dir_config(model_dir)
+        lm_cfg = kwargs.pop("lm_cfg", None)
+        if lm_cfg is None and "llm" not in file_cfg:
+            lm_cfg = LMConfig(speech_token_size=6561, num_special_head=200, special_in_speech_table=True)
+        flow_cfg = kwargs.pop("flow_cfg", None)
+        if flow_cfg is None and "flow" not in file_cfg:
+            flow_cfg = FlowConfig(
+                input_size=80, encoder_type="dit_prelookahead", estimator_type="dit", dit=DiTConfig()
+            )
+        hift_cfg = kwargs.pop("hift_cfg", None)
+        if hift_cfg is None and "hift" not in file_cfg:
+            hift_cfg = HiFTConfig(causal=True)
         super().__init__(model_dir, fp16=fp16, seed=seed, lm_cfg=lm_cfg, flow_cfg=flow_cfg, hift_cfg=hift_cfg)
         # swap in the v3 engine (cumulative-mel causal vocoding + FSQ squelch)
         self.engine = CosyVoice3Engine(
