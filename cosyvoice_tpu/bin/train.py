@@ -114,7 +114,29 @@ def main():
     )
     key = jax.random.PRNGKey(args.seed)
 
-    if args.model == "llm":
+    version = int(cfg.get("version", 2))
+    if args.model == "llm" and version == 1:
+        from cosyvoice_tpu.models.llm_v1 import TransformerLM
+        from cosyvoice_tpu.train.trainer import make_lm_v1_train_step
+        from cosyvoice_tpu.utils.config import build_lm_v1_config
+
+        lm = TransformerLM(build_lm_v1_config(cfg.get("llm")))
+        with init_on_cpu():
+            params = lm.init(key)
+        params = to_default_device(params)
+        step = make_lm_v1_train_step(lm.module, optimizer, lm.cfg.speech_token_size)
+
+        def collate(b):
+            return {
+                "text": jax.numpy.asarray(b["text_token"]),
+                "text_len": jax.numpy.asarray(b["text_token_len"]),
+                "spk": jax.numpy.asarray(b["embedding"]),
+                "speech": jax.numpy.asarray(b["speech_token"]),
+                "speech_len": jax.numpy.asarray(b["speech_token_len"]),
+            }
+
+        pipeline = build_pipeline(args, tokenizer)
+    elif args.model == "llm":
         from cosyvoice_tpu.models.llm import Qwen2LM
         from cosyvoice_tpu.train.lm_data import collate_lm_batch
         from cosyvoice_tpu.utils.config import build_lm_config
@@ -125,6 +147,38 @@ def main():
         params = to_default_device(params)
         step = make_lm_train_step(lm.module, optimizer, accum_steps=1)
         collate = lambda b: {k: jax.numpy.asarray(v[None]) for k, v in collate_lm_batch(lm.cfg, b).items()}  # noqa: E731
+        pipeline = build_pipeline(args, tokenizer)
+    elif args.model == "flow" and version == 1:
+        from cosyvoice_tpu.models.flow_v1 import MaskedDiffFlow
+        from cosyvoice_tpu.utils.config import build_flow_v1_config
+
+        flow = MaskedDiffFlow(build_flow_v1_config(cfg.get("flow")))
+        with init_on_cpu():
+            params = flow.init(key)
+        params = to_default_device(params)
+        loss_jit = jax.jit(flow.loss)
+
+        def v1_flow_step(params, opt_state, batch, rng):
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_jit(p, rng, batch["token"], batch["token_len"], batch["feat"],
+                                   batch["feat_len"], batch["embedding"])
+            )(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {"loss": loss}
+
+        def step(params, opt_state, batch, step_no):
+            return v1_flow_step(params, opt_state, batch, jax.random.fold_in(key, int(step_no)))
+
+        def collate(b):
+            return {
+                "token": jax.numpy.asarray(b["speech_token"]),
+                "token_len": jax.numpy.asarray(b["speech_token_len"]),
+                "feat": jax.numpy.asarray(b["speech_feat"]),
+                "feat_len": jax.numpy.asarray(b["speech_feat_len"]),
+                "embedding": jax.numpy.asarray(b["embedding"]),
+            }
+
         pipeline = build_pipeline(args, tokenizer)
     elif args.model == "flow":
         from cosyvoice_tpu.models.flow import CausalFlow

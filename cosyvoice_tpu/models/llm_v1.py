@@ -236,6 +236,27 @@ class TransformerLMModule(nn.Module):
         logits, k, v = self.lm_prefill(embeds, total, k_arena, v_arena)
         return logits, k, v, total
 
+    def forward_logits(self, text, text_len, spk, speech, speech_len):
+        """Training forward (reference TransformerLM.forward, llm.py:100-148):
+        assemble [sos][spk][text][task][speech] embeds and return full-sequence
+        logits [B, S, V+1]. Targets align so the task position predicts
+        speech[0] and the last speech position predicts EOS (see
+        train.trainer.v1_lm_targets)."""
+        text_h, _ = self.encode_text(text, text_len)
+        spk_emb = self.embed_spk(spk)
+        sp_emb = self.embed_speech(speech)
+        embeds, total = self.assemble_prompt(0, spk_emb, text_h, text_len, 1, sp_emb, speech_len)
+        S = embeds.shape[1]
+        x, pos = self._embed_lm(embeds, total)
+        qpos = jnp.arange(S)
+        causal = qpos[None, :, None] >= qpos[None, None, :]
+        valid = qpos[None, None, :] < total[:, None, None]
+        att_mask = causal & valid
+        for layer in self.lm_layers:
+            x, _, _ = layer.full(x, att_mask, pos)
+        x = self.lm_after_norm(x)
+        return self.llm_decoder(x).astype(jnp.float32), total
+
     def assemble_prompt(self, sos, spk_emb, text_h, text_len, task, prompt_speech, prompt_len):
         """Build [sos][spk][text][task][speech] embed sequence, tail-padded.
 

@@ -99,6 +99,50 @@ def make_lm_train_step(lm_module, optimizer, mesh=None, accum_steps: int = 1):
     return jax.jit(step_fn, donate_argnums=(0, 1))
 
 
+def v1_lm_targets(speech_token_size, text_pad_len, text_len, speech, speech_len):
+    """Targets for TransformerLMModule.forward_logits: position 2+text_len
+    (the task slot) predicts speech[0], ..., position 2+text_len+speech_len
+    predicts EOS (= speech_token_size); everything else IGNORE_ID
+    (reference llm.py:107-110). Spans the packed padded length
+    S = 2 + text_pad + 1 + speech_pad to match the logits."""
+    from cosyvoice_tpu.train.losses import IGNORE_ID
+
+    S = 3 + text_pad_len + speech.shape[1]
+    pos = jnp.arange(S)[None, :]
+    k = pos - (2 + text_len[:, None])  # index into the speech sequence
+    in_speech = (k >= 0) & (k < speech_len[:, None])
+    gathered = jnp.take_along_axis(speech, jnp.clip(k, 0, speech.shape[1] - 1), axis=1)
+    tgt = jnp.where(in_speech, gathered, IGNORE_ID)
+    return jnp.where(k == speech_len[:, None], speech_token_size, tgt)
+
+
+def make_lm_v1_train_step(lm_module, optimizer, speech_token_size: int):
+    """v1 TransformerLM CE training step. batch: {'text': [B, Lt], 'text_len',
+    'spk': [B, 192], 'speech': [B, Ls], 'speech_len'}."""
+
+    def step_fn(params, opt_state, batch, step):
+        def loss_fn(p):
+            logits, _ = lm_module.apply(
+                p, batch["text"], batch["text_len"], batch["spk"], batch["speech"],
+                batch["speech_len"], method="forward_logits",
+            )
+            tgt = v1_lm_targets(
+                speech_token_size, batch["text"].shape[1], batch["text_len"],
+                batch["speech"], batch["speech_len"],
+            )
+            return lm_ce_loss(logits, tgt)
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        updates, new_opt_state = skip_nonfinite(updates, new_opt_state, opt_state, finite)
+        params = optax.apply_updates(params, updates)
+        return params, new_opt_state, {"loss": loss, "acc": acc, "grad_norm": gnorm, "step": step + 1}
+
+    return jax.jit(step_fn, donate_argnums=(0, 1))
+
+
 def make_flow_train_step(flow, optimizer, mesh=None):
     """Flow CFM training step (data-parallel). batch keys: token, token_len,
     feat, feat_len, embedding; `streaming` is sampled per-step by the caller

@@ -145,3 +145,59 @@ class TestV1Engine:
         chunks = [o["tts_speech"] for o in eng.tts(**inputs, stream=True, rng_seed=3)]
         assert len(chunks) >= 1
         assert np.isfinite(np.concatenate(chunks, axis=1)).all()
+
+
+class TestV1Training:
+    def test_forward_logits_matches_prefill(self, v1_lm):
+        """Teacher-forcing training logits at the final position must equal the
+        inference prefill's next-token logits over the same prefix."""
+        lm, params = v1_lm
+        text = jnp.asarray([[3, 4, 5, 6, 0, 0]], jnp.int32)
+        tl = jnp.asarray([4])
+        spk = jax.random.normal(K(2), (1, 192))
+        speech = jnp.asarray([[7, 8, 9, 0]], jnp.int32)
+        sl = jnp.asarray([3])
+
+        logits_all, total = lm.module.apply(params, text, tl, spk, speech, sl, method="forward_logits")
+        k, v = lm.init_cache(1)
+        prefill_logits, _, _, total2 = lm.module.apply(params, text, tl, spk, speech, sl, k, v, method="prepare")
+        assert int(total[0]) == int(total2[0]) == 3 + 4 + 3
+        last = logits_all[0, int(total[0]) - 1]
+        np.testing.assert_allclose(np.asarray(last), np.asarray(prefill_logits[0]), rtol=1e-4, atol=1e-4)
+
+    def test_v1_targets_alignment(self):
+        from cosyvoice_tpu.train.trainer import v1_lm_targets
+        from cosyvoice_tpu.train.losses import IGNORE_ID
+
+        speech = jnp.asarray([[7, 8, 9, 0]], jnp.int32)
+        tgt = np.asarray(v1_lm_targets(30, 6, jnp.asarray([4]), speech, jnp.asarray([3])))
+        S = 3 + 6 + 4
+        assert tgt.shape == (1, S)
+        # positions 0..5 = sos,spk,text(4); task at 2+4=6 predicts speech[0]
+        assert (tgt[0, :6] == IGNORE_ID).all()
+        assert tgt[0, 6] == 7 and tgt[0, 7] == 8 and tgt[0, 8] == 9
+        assert tgt[0, 9] == 30  # eos
+        assert (tgt[0, 10:] == IGNORE_ID).all()
+
+    def test_v1_lm_train_step_reduces_loss(self, v1_lm):
+        import optax
+        from cosyvoice_tpu.train.trainer import make_lm_v1_train_step
+
+        lm, params = v1_lm
+        opt = optax.adam(1e-3)
+        step = make_lm_v1_train_step(lm.module, opt, lm.cfg.speech_token_size)
+        batch = {
+            "text": jnp.asarray([[3, 4, 5, 6, 0, 0], [1, 2, 0, 0, 0, 0]], jnp.int32),
+            "text_len": jnp.asarray([4, 2]),
+            "spk": jax.random.normal(K(3), (2, 192)),
+            "speech": jnp.asarray([[7, 8, 9, 0], [5, 6, 0, 0]], jnp.int32),
+            "speech_len": jnp.asarray([3, 2]),
+        }
+        p = jax.tree_util.tree_map(lambda x: x, params)
+        state = opt.init(p)
+        losses = []
+        for i in range(8):
+            p, state, m = step(p, state, batch, i)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
