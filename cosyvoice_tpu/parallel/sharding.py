@@ -59,6 +59,33 @@ def lm_param_spec(path: str, leaf, mesh: Optional[Mesh] = None) -> P:
     return P()  # replicated
 
 
+def fsdp_param_spec(path: str, leaf, mesh: Optional[Mesh] = None, min_size: int = 1 << 14) -> P:
+    """FSDP/ZeRO-3 analog (the veRL-GRPO FSDP role, SURVEY §2.6): the weights
+    themselves are sharded along 'dp' on the largest divisible free axis, on
+    top of any tp rule; XLA inserts the per-layer all-gathers from the spec
+    (GSPMD), so this composes with the existing train steps unchanged.
+    Small params (< min_size elements) stay replicated — the all-gather
+    latency would dominate their memory savings."""
+    base = lm_param_spec(path, leaf, mesh)
+    if leaf.ndim == 0 or leaf.size < min_size or mesh is None:
+        return base
+    dp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("dp", 1)
+    if dp == 1:
+        return base
+    dims = list(base) + [None] * (leaf.ndim - len(base))
+    if "dp" in dims:
+        return base
+    free = [i for i in range(leaf.ndim) if dims[i] is None and leaf.shape[i] % dp == 0]
+    if not free:
+        return P(*dims)
+    dims[max(free, key=lambda i: leaf.shape[i])] = "dp"
+    return P(*dims)
+
+
+def shard_params_fsdp(mesh: Mesh, params):
+    return shard_params(mesh, params, rule=fsdp_param_spec)
+
+
 def _flatten_path(path) -> str:
     return "/".join(getattr(k, "key", str(k)) for k in path)
 

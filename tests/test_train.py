@@ -118,6 +118,19 @@ class TestTrainStep:
         assert c(1) == c(1000) == 1e-4
         n = get_scheduler("NoamHoldAnnealing", 1e-3, warmup_steps=10, hold_steps=10)
         assert n(5) < n(10) and abs(n(15) - 1e-3) < 1e-9 and n(100) < 1e-3
+        # NeMo-family policies (reference scheduler.py:377-738)
+        sq = get_scheduler("SquareAnnealing", 1e-3, max_steps=100)
+        assert sq(10) > sq(50) > sq(100) == 0.0
+        sr = get_scheduler("SquareRootAnnealing", 1e-3, max_steps=100)
+        assert sr(50) > sq(50)  # sqrt decays slower than square
+        na = get_scheduler("NoamAnnealing", 1e-3, d_model=512, warmup_steps=10)
+        assert na(5) < na(10) > na(100)
+        pd = get_scheduler("PolynomialDecayAnnealing", 1e-3, decay_steps=100, power=1.0)
+        np.testing.assert_allclose(pd(50), 5e-4, rtol=1e-6)
+        wa = get_scheduler("WarmupAnnealing", 1e-3, warmup_steps=10, decay_steps=100)
+        assert abs(wa(10) - 1e-3) < 1e-9 and wa(200) == 0.0
+        sc = get_scheduler("SquareRootConstantPolicy", 1e-3, constant_steps=10)
+        assert sc(5) == 1e-3 and abs(sc(100) - 1e-4) < 1e-9
 
 
 class TestDPO:
