@@ -83,6 +83,8 @@ class Qwen2LMModule(nn.Module):
         if c.qwen.quant:
             from cosyvoice_tpu.models.qwen2 import QuantDense
 
+            # head stays int8 even in int4 mode: head_size (6564) is not
+            # lane-aligned for the int4 tile and the head is ~1% of weights
             self.llm_decoder = QuantDense(
                 c.head_size, use_bias=not c.special_in_speech_table, dtype=c.qwen.dtype
             )

@@ -38,7 +38,7 @@ class Qwen2Config:
     rope_theta: float = 1e6
     max_cache_len: int = 4096
     dtype: Any = jnp.bfloat16
-    quant: bool = False  # weight-only int8 matmul kernels (ops/quant.py)
+    quant: Any = False  # weight-only quant: False | True/"int8" | "int4" (ops/quant.py)
 
 
 class RMSNorm(nn.Module):
@@ -74,6 +74,38 @@ class QuantDense(nn.Module):
         return y
 
 
+class QuantDense4(nn.Module):
+    """Weight-only int4 Dense: half-split nibble-packed kernel + 8
+    input-blockwise fp32 scale rows (ops/quant.py quantize_tensor_int4, the
+    TRT-LLM int4 weight-only role). Halves stored weight bytes vs int8 —
+    the memory-density mode; int8 (QuantDense) is the decode-speed mode
+    (see ops/quant.py module docstring for the measured tradeoffs)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from cosyvoice_tpu.ops.quant import INT4_BLOCKS, int4_matmul
+
+        in_f = x.shape[-1]
+        kq = self.param("kernel_q4", nn.initializers.zeros, (in_f // 2, self.features), jnp.int8)
+        scale = self.param("scale4", nn.initializers.ones, (INT4_BLOCKS, self.features), jnp.float32)
+        y = int4_matmul(x, kq, scale, self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
+def dense_cls(cfg: Qwen2Config):
+    """Dense flavor for the decode-path matmuls given cfg.quant."""
+    if cfg.quant == "int4":
+        return QuantDense4
+    return QuantDense if cfg.quant else nn.Dense
+
+
 class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
 
@@ -90,7 +122,7 @@ class Qwen2Attention(nn.Module):
         # (converter note: concat HF q_proj|k_proj|v_proj along out dim.)
         nq = c.num_heads * c.head_dim
         nkv = c.num_kv_heads * c.head_dim
-        D = QuantDense if c.quant else nn.Dense
+        D = dense_cls(c)
         qkv = D(nq + 2 * nkv, dtype=c.dtype, name="qkv_proj")(x)
         q, k, v = qkv[..., :nq], qkv[..., nq : nq + nkv], qkv[..., nq + nkv :]
         q = q.reshape(B, S, c.num_heads, c.head_dim)
@@ -156,7 +188,7 @@ class Qwen2MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        D = QuantDense if c.quant else nn.Dense
+        D = dense_cls(c)
         # fused gate|up (converter note: concat HF gate_proj|up_proj)
         gu = D(2 * c.intermediate_size, use_bias=False, dtype=c.dtype, name="gate_up_proj")(x)
         gate, up = jnp.split(gu, 2, axis=-1)

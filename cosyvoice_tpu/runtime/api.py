@@ -61,7 +61,7 @@ class CosyVoice2:
         lm_cfg: Optional[LMConfig] = None,
         flow_cfg: Optional[FlowConfig] = None,
         hift_cfg: Optional[HiFTConfig] = None,
-        quant_lm: bool = False,  # weight-only int8 LM (halves decode HBM traffic)
+        quant_lm=False,  # weight-only LM: True/"int8" (2x faster decode) or "int4" (half the int8 memory)
     ):
         self.model_dir = model_dir
         # model dirs may carry a declarative config.json (the reference's
@@ -93,14 +93,15 @@ class CosyVoice2:
             else:
                 logging.warning("no checkpoint for %s — using random init", name)
             if name == "lm" and quant_lm:
-                # quantize the fp checkpoint on host, swap in the int8 module
+                # quantize the fp checkpoint on host, swap in the quant module
                 import dataclasses
 
                 from cosyvoice_tpu.ops.quant import quantize_lm_params
 
-                template = quantize_lm_params(template)
+                mode = "int4" if quant_lm == "int4" else "int8"
+                template = quantize_lm_params(template, mode)
                 self.lm = Qwen2LM(dataclasses.replace(
-                    lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant=True)))
+                    lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant=mode)))
             setattr(self, f"{name}_params", to_default_device(template))
 
         self._init_frontend_only(model_dir)

@@ -84,3 +84,79 @@ class TestQuantLM:
         toks = np.concatenate(blocks)
         assert 6 <= len(toks) <= 30
         assert (toks < c.speech_token_size).all()
+
+
+class TestInt4Ops:
+    def test_int4_roundtrip_error_bounded(self):
+        from cosyvoice_tpu.ops.quant import quantize_tensor_int4, unpack_int4
+
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((128, 64)).astype(np.float32)
+        q, s = quantize_tensor_int4(w)
+        assert q.shape == (64, 64) and s.shape == (8, 64)  # packed halves, 8 scale blocks
+        s_in = np.repeat(s, 16, axis=0)  # [in, out]
+        wd = np.asarray(unpack_int4(jnp.asarray(q), jnp.float32)) * s_in
+        err = np.abs(w - wd)
+        assert (err <= s_in * 0.5 + 1e-7).all()
+
+    def test_int4_matmul_matches_dequant(self):
+        from cosyvoice_tpu.ops.quant import int4_matmul, quantize_tensor_int4, unpack_int4
+
+        rng = np.random.default_rng(1)
+        w = rng.standard_normal((256, 384)).astype(np.float32) / 16
+        x = rng.standard_normal((4, 256)).astype(np.float32)
+        q, s = quantize_tensor_int4(w)
+        wd = np.asarray(unpack_int4(jnp.asarray(q), jnp.float32)) * np.repeat(s, 32, axis=0)
+        ref = x @ wd
+        got = np.asarray(int4_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s), jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+class TestInt4LM:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        fp = Qwen2LM(LMConfig(speech_token_size=20, block_size=8, qwen=Qwen2Config(**QWEN)))
+        q4 = Qwen2LM(LMConfig(speech_token_size=20, block_size=8,
+                              qwen=Qwen2Config(**QWEN, quant="int4")))
+        params = fp.init(K(0))
+        params_q = quantize_lm_params(params, "int4")
+        return fp, q4, params, params_q
+
+    def test_param_tree_matches_int4_module(self, setup):
+        fp, q4, params, params_q = setup
+        ref = q4.init(K(1))
+        flat_ref = {jax.tree_util.keystr(k): (v.shape, v.dtype)
+                    for k, v in jax.tree_util.tree_leaves_with_path(ref)}
+        flat_got = {jax.tree_util.keystr(k): (np.shape(v), np.asarray(v).dtype)
+                    for k, v in jax.tree_util.tree_leaves_with_path(params_q)}
+        assert flat_ref.keys() == flat_got.keys()
+        for k in flat_ref:
+            assert flat_ref[k][0] == tuple(flat_got[k][0]), k
+            assert flat_ref[k][1] == flat_got[k][1], k
+
+    def test_int4_logits_close_to_fp(self, setup):
+        fp, q4, params, params_q = setup
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, 20, (2, 12)).astype(np.int32)
+        types = np.full((2, 12), TYPE_SPEECH, np.int32)
+        lengths = np.asarray([12, 9], np.int32)
+        lf = np.asarray(fp.module.apply(params, ids, types, lengths, method="forward_logits"))
+        lq = np.asarray(q4.module.apply(params_q, ids, types, lengths, method="forward_logits"))
+        # int4 on tiny random weights is noisy and random-init logits are
+        # nearly flat (argmax flips easily), so correlation is the wiring
+        # check here; quality on real weights is gauged by the int8 tests +
+        # the dequant-error bound test above
+        corr = np.corrcoef(lf.ravel(), lq.ravel())[0, 1]
+        assert corr > 0.95, corr
+
+    def test_int4_generate_runs(self, setup):
+        fp, q4, params, params_q = setup
+        c = q4.cfg
+        rng = np.random.default_rng(2)
+        tt = rng.integers(0, 50, 4).astype(np.int32)
+        ids = np.concatenate([[c.sos_id], tt, [c.task_id]]).astype(np.int32)
+        types = np.concatenate([[TYPE_SPECIAL], np.full(4, TYPE_TEXT), [TYPE_SPECIAL]]).astype(np.int32)
+        blocks = list(q4.generate(params_q, ids, types, K(7), 6, 30))
+        toks = np.concatenate(blocks)
+        assert 6 <= len(toks) <= 30
+        assert (toks < c.speech_token_size).all()
