@@ -107,3 +107,48 @@ class TestBenchClient:
         assert len(res) == 2
         assert res[0]["errors"] == 0 and res[0]["n_requests"] == 3
         assert res[0]["audio_s_total"] > 0 and res[0]["rtf"] > 0
+
+
+class TestRewardServer:
+    def test_reward_roundtrip_with_http_reward_client(self):
+        """KServe v2 protocol round trip: server (reward_server) <-> client
+        (train.grpo.http_reward), with a fake token2wav model + echo ASR."""
+        from cosyvoice_tpu.serving.reward_server import cer, make_reward_fn, make_server
+        from cosyvoice_tpu.train.grpo import http_reward
+
+        class FakeEngine:
+            def token2wav(self, state, tokens, *a, **kw):
+                return np.zeros((1, len(tokens) * 480), np.float32)
+
+        class FakeFlowCfg:
+            class cfg:
+                spk_embed_dim = 192
+
+        class FakeRewardModel:
+            sample_rate = 24000
+            engine = FakeEngine()
+            flow = FakeFlowCfg()
+
+        # ASR that returns the right text iff enough tokens were synthesized
+        def asr(wav, sr):
+            return "hello world" if wav.size >= 3 * 480 else "hxllo"
+
+        srv = make_server(make_reward_fn(FakeRewardModel(), asr), host="127.0.0.1", port=50913)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            reward = http_reward("http://127.0.0.1:50913/v2/models/reward/infer")
+            good = reward(np.asarray([1, 2, 3, 4], np.int32), "hello world")
+            bad = reward(np.asarray([1], np.int32), "hello world")
+            assert good == 1.0
+            assert 0.0 <= bad < 1.0
+        finally:
+            srv.shutdown()
+
+    def test_cer(self):
+        from cosyvoice_tpu.serving.reward_server import cer
+
+        assert cer("hello world", "hello world") == 0.0
+        assert cer("Hello, world!", "hello world") == 0.0  # punctuation/case stripped
+        assert 0.0 < cer("hxllo world", "hello world") < 0.5
+        assert cer("", "abc") == 1.0
