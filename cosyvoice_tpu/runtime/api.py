@@ -164,27 +164,51 @@ class CosyVoice2:
             yield out
             start = time.time()
 
+    def _run_segments(self, jobs, stream: bool, speed: float):
+        """jobs: [(model_input, text_len)]. Offline multi-segment synthesis
+        with continuous batching enabled runs all segments CONCURRENTLY
+        through the shared LM decode loop and yields chunks in segment order
+        (long-text latency ≈ one segment instead of the sum — the TRT-LLM
+        batched-offline role; the reference synthesizes segments serially).
+        Streaming or single-segment requests keep the serial path."""
+        scheduler = getattr(self.engine, "scheduler", None)
+        if stream or scheduler is None or len(jobs) <= 1:
+            for mi, ln in jobs:
+                yield from self._run(mi, stream, speed, ln)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=scheduler.B) as ex:
+            futures = [ex.submit(lambda mi=mi, ln=ln: list(self._run(mi, False, speed, ln))) for mi, ln in jobs]
+            for f in futures:
+                yield from f.result()
+
     def inference_zero_shot(
         self, tts_text, prompt_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True
     ):
         prompt_texts = self.frontend.text_normalize(prompt_text, split=False) if text_frontend else prompt_text
+        jobs = []
         for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
             if len(seg) < 0.5 * len(prompt_text):
                 logging.warning("synthesis text %s too short compared to prompt text %s", seg, prompt_text)
-            mi = self.frontend.frontend_zero_shot(seg, prompt_texts, prompt_wav, zero_shot_spk_id)
-            yield from self._run(mi, stream, speed, len(seg))
+            jobs.append((self.frontend.frontend_zero_shot(seg, prompt_texts, prompt_wav, zero_shot_spk_id), len(seg)))
+        yield from self._run_segments(jobs, stream, speed)
 
     def inference_cross_lingual(self, tts_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True):
-        for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
-            mi = self.frontend.frontend_cross_lingual(seg, prompt_wav, zero_shot_spk_id)
-            yield from self._run(mi, stream, speed, len(seg))
+        jobs = [
+            (self.frontend.frontend_cross_lingual(seg, prompt_wav, zero_shot_spk_id), len(seg))
+            for seg in (self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text])
+        ]
+        yield from self._run_segments(jobs, stream, speed)
 
     def inference_instruct2(
         self, tts_text, instruct_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True
     ):
-        for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
-            mi = self.frontend.frontend_instruct2(seg, instruct_text, prompt_wav, zero_shot_spk_id)
-            yield from self._run(mi, stream, speed, len(seg))
+        jobs = [
+            (self.frontend.frontend_instruct2(seg, instruct_text, prompt_wav, zero_shot_spk_id), len(seg))
+            for seg in (self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text])
+        ]
+        yield from self._run_segments(jobs, stream, speed)
 
     def inference_vc(self, source_speech_16k, prompt_wav, stream=False, speed=1.0):
         mi = self.frontend.frontend_vc(source_speech_16k, prompt_wav)

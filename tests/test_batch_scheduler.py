@@ -188,3 +188,48 @@ class TestBatchScheduler:
             assert np.isfinite(wav).all()
         finally:
             sched.stop()
+
+
+class TestParallelSegments:
+    def test_offline_multi_segment_runs_concurrently(self):
+        """With continuous batching on, multi-segment offline synthesis yields
+        one chunk per segment, in order (api._run_segments parallel path)."""
+        from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
+        from cosyvoice_tpu.models.flow_decoder import EstimatorConfig
+        from cosyvoice_tpu.models.flow_matching import CFMConfig
+        from cosyvoice_tpu.models.hift import HiFTConfig
+        from cosyvoice_tpu.runtime.api import CosyVoice2
+
+        model = CosyVoice2(
+            # speech_token_size must cover the S3 tokenizer's 0..6560 id
+            # range the frontend emits for the prompt audio
+            lm_cfg=LMConfig(
+                speech_token_size=6561, block_size=8,
+                qwen=Qwen2Config(hidden_size=32, num_layers=1, num_heads=2, num_kv_heads=1, head_dim=16,
+                                 intermediate_size=64, vocab_size=160000, max_cache_len=512,
+                                 dtype=jnp.float32),
+            ),
+            flow_cfg=FlowConfig(
+                input_size=32, attention_heads=2, linear_units=64, num_blocks=1,
+                num_up_blocks=1,
+                estimator=EstimatorConfig(channels=(32,), attention_head_dim=8, n_blocks=1,
+                                          num_mid_blocks=1, num_heads=2),
+                cfm=CFMConfig(n_timesteps=1),
+            ),
+            hift_cfg=HiFTConfig(base_channels=32, resblock_kernel_sizes=(3,), resblock_dilations=((1,),),
+                                source_resblock_kernel_sizes=(7, 7, 11),
+                                source_resblock_dilations=((1,), (1,), (1,))),
+        )
+        sched = model.enable_continuous_batching(max_batch=2)
+        try:
+            long_text = ("This is a rather long sentence that keeps going for quite a while. " * 6).strip()
+            segs = model.frontend.text_normalize(long_text, split=True)
+            assert len(segs) >= 2, segs
+            prompt = np.random.RandomState(0).randn(1, 8000).astype(np.float32) * 0.05
+            outs = list(model.inference_zero_shot(long_text, "prompt text", prompt))
+            assert len(outs) == len(segs)
+            for o in outs:
+                assert o["tts_speech"].shape[1] > 0
+                assert np.isfinite(o["tts_speech"]).all()
+        finally:
+            sched.stop()
