@@ -348,6 +348,18 @@ class CosyVoice2Engine:
     ) -> Generator[dict, None, None]:
         """Yields {'tts_speech': np.ndarray [1, n]} chunks."""
         c = self.lm.cfg
+        # codec-vocab mismatch guard: out-of-range ids silently corrupt the
+        # embedding gathers downstream (NaN audio), so fail loudly instead
+        for name, arr, vocab in (
+            ("llm_prompt_speech_token", llm_prompt_speech_token, c.speech_token_size),
+            ("flow_prompt_speech_token", flow_prompt_speech_token, self.flow.cfg.vocab_size),
+            ("source_speech_token", source_speech_token, self.flow.cfg.vocab_size),
+        ):
+            if arr is not None and np.asarray(arr).size and int(np.max(arr)) >= vocab:
+                raise ValueError(
+                    f"{name} has id {int(np.max(arr))} >= codec vocab {vocab}: the model config "
+                    "does not match the speech tokenizer that produced these tokens"
+                )
         state = SessionState()
         la = self.pre_lookahead_len
 
@@ -656,6 +668,16 @@ class CosyVoiceV1Engine:
         source_speech_token=None,
         rng_seed=None,
     ):
+        for name, arr, vocab in (
+            ("llm_prompt_speech_token", llm_prompt_speech_token, self.lm.cfg.speech_token_size),
+            ("flow_prompt_speech_token", flow_prompt_speech_token, self.flow.cfg.vocab_size),
+            ("source_speech_token", source_speech_token, self.flow.cfg.vocab_size),
+        ):
+            if arr is not None and np.asarray(arr).size and int(np.max(arr)) >= vocab:
+                raise ValueError(
+                    f"{name} has id {int(np.max(arr))} >= codec vocab {vocab}: the model config "
+                    "does not match the speech tokenizer that produced these tokens"
+                )
         state = V1SessionState()
         if source_speech_token is None:
             text = np.concatenate([prompt_text_tokens, text_tokens]).astype(np.int32)

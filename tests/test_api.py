@@ -57,3 +57,55 @@ class TestAPI:
 
         api.save_pretrained(str(tmp_path))
         assert (tmp_path / "lm.msgpack").exists()
+
+
+class TestEvalQuality:
+    def test_eval_cli(self, tmp_path):
+        """tools.eval_quality end-to-end on a tiny random-weight model: CER via
+        a stub ASR + CAM++ speaker similarity over a 2-utt tts_text set."""
+        import json as _json
+        import os
+        import subprocess
+        import sys
+
+        from cosyvoice_tpu.utils.audio_io import save_wav
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = {
+            "version": 2,
+            "llm": {
+                "speech_token_size": 6561, "block_size": 8,
+                "qwen": {"hidden_size": 32, "num_layers": 1, "num_heads": 2, "num_kv_heads": 1,
+                         "head_dim": 16, "intermediate_size": 64, "vocab_size": 160000,
+                         "max_cache_len": 512, "dtype": "float32"},
+            },
+            "flow": {"input_size": 32, "attention_heads": 2, "linear_units": 64, "num_blocks": 1,
+                     "num_up_blocks": 1,
+                     "estimator": {"channels": [32], "attention_head_dim": 8, "n_blocks": 1,
+                                   "num_mid_blocks": 1, "num_heads": 2},
+                     "cfm": {"n_timesteps": 1}},
+            "hift": {"base_channels": 32, "resblock_kernel_sizes": [3], "resblock_dilations": [[1]],
+                     "source_resblock_kernel_sizes": [7, 7, 11],
+                     "source_resblock_dilations": [[1], [1], [1]]},
+        }
+        (tmp_path / "config.json").write_text(_json.dumps(cfg))
+        save_wav(str(tmp_path / "p1.wav"), np.random.RandomState(0).randn(16000) * 0.05, 16000)
+        (tmp_path / "wav.scp").write_text(f"u1 {tmp_path}/p1.wav\n")
+        (tmp_path / "text").write_text("u1 a prompt transcript\n")
+        (tmp_path / "tts_text.json").write_text(_json.dumps({"u1": ["hello world synthesis check"]}))
+        (tmp_path / "stub_asr.py").write_text(
+            "def transcribe(wav, sr):\n    return 'hello world synthesis check'\n")
+
+        r = subprocess.run(
+            [sys.executable, "-m", "cosyvoice_tpu.tools.eval_quality",
+             "--model_dir", str(tmp_path), "--tts_text", str(tmp_path / "tts_text.json"),
+             "--prompt_scp", str(tmp_path / "wav.scp"), "--prompt_text", str(tmp_path / "text"),
+             "--asr", "stub_asr:transcribe"],
+            capture_output=True, text=True, timeout=1500, cwd=repo,
+            env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": f"{tmp_path}:{repo}"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = _json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["n"] == 1
+        assert out["cer"] == 0.0  # stub ASR returns the exact text
+        assert -1.0 <= out["speaker_similarity"] <= 1.0
