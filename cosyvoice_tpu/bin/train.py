@@ -110,7 +110,7 @@ def main():
     optimizer = optax.chain(
         optax.clip_by_global_norm(args.grad_clip),
         optax.scale_by_adam(),
-        optax.scale_by_schedule(lambda s: -sched(int(s))),
+        optax.scale_by_schedule(lambda s: -sched(s)),
     )
     key = jax.random.PRNGKey(args.seed)
 
@@ -125,6 +125,18 @@ def main():
             params = lm.init(key)
         params = to_default_device(params)
         step = make_lm_v1_train_step(lm.module, optimizer, lm.cfg.speech_token_size)
+        from cosyvoice_tpu.train.losses import lm_ce_loss
+        from cosyvoice_tpu.train.trainer import v1_lm_targets
+
+        @jax.jit
+        def cv_fn(p, mb):
+            logits, _ = lm.module.apply(
+                p, mb["text"], mb["text_len"], mb["spk"], mb["speech"], mb["speech_len"],
+                method="forward_logits",
+            )
+            tgt = v1_lm_targets(lm.cfg.speech_token_size, mb["text"].shape[1], mb["text_len"],
+                                mb["speech"], mb["speech_len"])
+            return lm_ce_loss(logits, tgt)[0]
 
         def collate(b):
             return {
@@ -146,6 +158,14 @@ def main():
             params = lm.init(key)
         params = to_default_device(params)
         step = make_lm_train_step(lm.module, optimizer, accum_steps=1)
+        from cosyvoice_tpu.train.losses import lm_ce_loss
+
+        @jax.jit
+        def cv_fn(p, mb):
+            mb = {k: v[0] for k, v in mb.items()}  # drop the accum axis
+            logits = lm.module.apply(p, mb["ids"], mb["types"], mb["lengths"], method="forward_logits")
+            return lm_ce_loss(logits, mb["targets"])[0]
+
         collate = lambda b: {k: jax.numpy.asarray(v[None]) for k, v in collate_lm_batch(lm.cfg, b).items()}  # noqa: E731
         pipeline = build_pipeline(args, tokenizer)
     elif args.model == "flow" and version == 1:
@@ -170,6 +190,10 @@ def main():
         def step(params, opt_state, batch, step_no):
             return v1_flow_step(params, opt_state, batch, jax.random.fold_in(key, int(step_no)))
 
+        def cv_fn(p, mb):
+            return loss_jit(p, jax.random.PRNGKey(0), mb["token"], mb["token_len"], mb["feat"],
+                            mb["feat_len"], mb["embedding"])
+
         def collate(b):
             return {
                 "token": jax.numpy.asarray(b["speech_token"]),
@@ -193,6 +217,12 @@ def main():
         def step(params, opt_state, batch, step_no):
             streaming = random.random() < 0.5  # unified training (flow.py:201)
             return flow_step(params, opt_state, batch, jax.random.fold_in(key, int(step_no)), streaming)
+
+        cv_loss_jit = jax.jit(flow.loss, static_argnames=("streaming",))
+
+        def cv_fn(p, mb):
+            return cv_loss_jit(p, jax.random.PRNGKey(0), mb["token"], mb["token_len"], mb["feat"],
+                               mb["feat_len"], mb["embedding"], streaming=False)
 
         def collate(b):
             return {
@@ -252,6 +282,8 @@ def main():
         return
 
     dataset = Dataset(args.train_data, pipeline, rank=rank, world_size=world)
+    cv_dataset = Dataset(args.cv_data, pipeline, rank=rank, world_size=world) if args.cv_data else None
+    cv_iter_fn = (lambda: iter(cv_dataset)) if cv_dataset is not None else None
     executor = Executor(
         step, args.model_dir, model_name=args.model, log_interval=args.log_interval,
         save_per_step=args.save_per_step, rank=rank,
@@ -265,9 +297,14 @@ def main():
         executor.save(params, opt_state, {"note": "init"})
     for epoch in range(args.max_epoch):
         dataset.set_epoch(epoch)
-        params, opt_state = executor.train_one_epoch(params, opt_state, iter(dataset), collate)
+        params, opt_state = executor.train_one_epoch(
+            params, opt_state, iter(dataset), collate, cv_fn=cv_fn, cv_iter=cv_iter_fn
+        )
         if rank == 0:
-            executor.save(params, opt_state)
+            cv_metrics = (
+                executor.cross_validate(params, cv_fn, cv_iter_fn, collate) if cv_dataset is not None else None
+            )
+            executor.save(params, opt_state, cv_metrics)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,8 @@ class Executor:
     def cross_validate(self, params, loss_fn, cv_iter, collate):
         if cv_iter is None:
             return {}
+        if callable(cv_iter):  # factory: fresh pass per CV (mid-epoch saves)
+            cv_iter = cv_iter()
         tot, n = 0.0, 0
         for batch in cv_iter:
             loss = float(loss_fn(params, collate(batch)))
@@ -87,7 +89,11 @@ class Executor:
         with open(path, "wb") as f:
             f.write(ser.to_bytes(params))
         side = {"epoch": self.epoch, "step": self.step, "save_time": time.strftime("%Y-%m-%d %H:%M:%S")}
-        side.update({k: float(v) for k, v in (metrics or {}).items()})
+        for k, v in (metrics or {}).items():
+            try:
+                side[k] = float(v)
+            except (TypeError, ValueError):  # non-numeric metadata (e.g. {"note": "init"})
+                side[k] = v
         with open(os.path.join(self.out_dir, f"{tag}.json"), "w") as f:
             json.dump(side, f, indent=2)
         logging.info("saved %s", path)

@@ -1,49 +1,49 @@
 """LR schedules (optax-style), covering the reference policies the shipped
 recipes use plus the NeMo-lineage family (cosyvoice/utils/scheduler.py:27-738).
 
-All are plain step->lr functions, so resume is `set_step` by construction
-(the trainer passes the restored global step).
+All are step->lr functions written with jnp-traceable, branchless math so
+they work both eagerly (host logging, tests) and inside jitted optimizer
+updates (optax.scale_by_schedule traces the step). Resume is `set_step` by
+construction — the trainer passes the restored global step.
 """
 
-import numpy as np
+import jax.numpy as jnp
 
 
 def warmup_lr(lr: float, warmup_steps: int = 25000):
     """WarmupLR (scheduler.py:27-72): lr * w^0.5 * min(s^-0.5, s*w^-1.5)."""
 
     def sched(step):
-        s = max(float(step), 1.0)
-        return lr * warmup_steps**0.5 * min(s**-0.5, s * warmup_steps**-1.5)
+        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+        return lr * warmup_steps**0.5 * jnp.minimum(s**-0.5, s * warmup_steps**-1.5)
 
     return sched
 
 
 def constant_lr(lr: float, **_):
-    return lambda step: lr
+    return lambda step: jnp.asarray(lr, jnp.float32)
 
 
 def noam_hold_annealing(lr: float, warmup_steps: int, hold_steps: int, decay_rate: float = 0.5, min_lr: float = 0.0):
     """NoamHoldAnnealing (scheduler.py): warmup -> hold -> polynomial decay."""
 
     def sched(step):
-        s = max(float(step), 1.0)
-        if s <= warmup_steps:
-            return lr * s / warmup_steps
-        if s <= warmup_steps + hold_steps:
-            return lr
-        decay_span = max(s - warmup_steps - hold_steps, 1.0)
-        return max(lr * (warmup_steps / (warmup_steps + decay_span)) ** decay_rate, min_lr)
+        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+        warm = lr * s / warmup_steps
+        decay_span = jnp.maximum(s - warmup_steps - hold_steps, 1.0)
+        decayed = jnp.maximum(lr * (warmup_steps / (warmup_steps + decay_span)) ** decay_rate, min_lr)
+        return jnp.where(s <= warmup_steps, warm, jnp.where(s <= warmup_steps + hold_steps, lr, decayed))
 
     return sched
 
 
 def cosine_annealing(lr: float, warmup_steps: int, max_steps: int, min_lr: float = 0.0):
     def sched(step):
-        s = float(step)
-        if s < warmup_steps:
-            return lr * max(s, 1.0) / warmup_steps
-        progress = min((s - warmup_steps) / max(max_steps - warmup_steps, 1), 1.0)
-        return min_lr + 0.5 * (lr - min_lr) * (1 + np.cos(np.pi * progress))
+        s = jnp.asarray(step, jnp.float32)
+        warm = lr * jnp.maximum(s, 1.0) / max(warmup_steps, 1)
+        progress = jnp.clip((s - warmup_steps) / max(max_steps - warmup_steps, 1), 0.0, 1.0)
+        ann = min_lr + 0.5 * (lr - min_lr) * (1 + jnp.cos(jnp.pi * progress))
+        return jnp.where(s < warmup_steps, warm, ann)
 
     return sched
 
@@ -52,11 +52,11 @@ def square_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 100000, 
     """SquareAnnealing (scheduler.py:384-389,444-470): warmup then (1-p)^2 decay."""
 
     def sched(step):
-        s = float(step)
-        if warmup_steps > 0 and s <= warmup_steps:
-            return lr * max(s, 1.0) / warmup_steps
-        frac = max(max_steps - min(s, max_steps), 0.0) / max(max_steps, 1)
-        return max(lr * frac**2, min_lr)
+        s = jnp.asarray(step, jnp.float32)
+        warm = lr * jnp.maximum(s, 1.0) / max(warmup_steps, 1)
+        frac = jnp.maximum(max_steps - jnp.minimum(s, float(max_steps)), 0.0) / max(max_steps, 1)
+        ann = jnp.maximum(lr * frac**2, min_lr)
+        return jnp.where((warmup_steps > 0) & (s <= warmup_steps), warm, ann)
 
     return sched
 
@@ -65,11 +65,11 @@ def squareroot_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 1000
     """SquareRootAnnealing (scheduler.py:377-382,471-496)."""
 
     def sched(step):
-        s = float(step)
-        if warmup_steps > 0 and s <= warmup_steps:
-            return lr * max(s, 1.0) / warmup_steps
-        frac = max(max_steps - min(s, max_steps), 0.0) / max(max_steps, 1)
-        return max(lr * frac**0.5, min_lr)
+        s = jnp.asarray(step, jnp.float32)
+        warm = lr * jnp.maximum(s, 1.0) / max(warmup_steps, 1)
+        frac = jnp.maximum(max_steps - jnp.minimum(s, float(max_steps)), 0.0) / max(max_steps, 1)
+        ann = jnp.maximum(lr * frac**0.5, min_lr)
+        return jnp.where((warmup_steps > 0) & (s <= warmup_steps), warm, ann)
 
     return sched
 
@@ -78,11 +78,14 @@ def noam_annealing(lr: float, d_model: int = 512, warmup_steps: int = 0, min_lr:
     """NoamAnnealing (scheduler.py:558-621): d^-0.5 * min(s^-0.5, s*w^-1.5)."""
 
     def sched(step):
-        s = max(float(step), 1.0)
+        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
         norm = d_model**-0.5
-        mult = norm * (min(s**-0.5, s * warmup_steps**-1.5) if warmup_steps > 0 else s**-0.5)
+        if warmup_steps > 0:
+            mult = norm * jnp.minimum(s**-0.5, s * warmup_steps**-1.5)
+        else:
+            mult = norm * s**-0.5
         out = lr * mult
-        return max(out, min_lr) if s > warmup_steps else out
+        return jnp.where(s > warmup_steps, jnp.maximum(out, min_lr), out)
 
     return sched
 
@@ -92,16 +95,16 @@ def polynomial_decay(lr: float, decay_steps: int = 100000, power: float = 1.0,
     """PolynomialDecayAnnealing (scheduler.py:421-430)."""
 
     def sched(step):
-        s = float(step)
-        if warmup_steps > 0 and s <= warmup_steps:
-            return lr * max(s, 1.0) / warmup_steps
-        s -= warmup_steps
+        s0 = jnp.asarray(step, jnp.float32)
+        warm = lr * jnp.maximum(s0, 1.0) / max(warmup_steps, 1)
+        s = s0 - warmup_steps
         d = float(decay_steps)
         if cycle:
-            d *= max(1.0, np.ceil(s / d))
+            d = d * jnp.maximum(1.0, jnp.ceil(s / d))
         else:
-            s = min(s, d)
-        return (lr - min_lr) * (1.0 - s / d) ** power + min_lr
+            s = jnp.minimum(s, d)
+        ann = (lr - min_lr) * jnp.clip(1.0 - s / d, 0.0, 1.0) ** power + min_lr
+        return jnp.where((warmup_steps > 0) & (s0 <= warmup_steps), warm, ann)
 
     return sched
 
@@ -111,13 +114,12 @@ def linear_warmup_cosine_annealing(lr: float, warmup_steps: int = 0, decay_steps
     """WarmupAnnealHoldPolicy cosine variant (scheduler.py:397-418)."""
 
     def sched(step):
-        s = float(step)
-        if warmup_steps > 0 and s <= warmup_steps:
-            return lr * s / warmup_steps
-        if s > warmup_steps + decay_steps:
-            return min_lr
-        ratio = (s - warmup_steps) / decay_steps
-        return min_lr + 0.5 * (np.cos(np.pi * ratio) + 1.0) * (lr - min_lr)
+        s = jnp.asarray(step, jnp.float32)
+        warm = lr * s / max(warmup_steps, 1)
+        ratio = jnp.clip((s - warmup_steps) / max(decay_steps, 1), 0.0, 1.0)
+        ann = min_lr + 0.5 * (jnp.cos(jnp.pi * ratio) + 1.0) * (lr - min_lr)
+        out = jnp.where(s > warmup_steps + decay_steps, min_lr, ann)
+        return jnp.where((warmup_steps > 0) & (s <= warmup_steps), warm, out)
 
     return sched
 
@@ -127,10 +129,8 @@ def squareroot_constant(lr: float, constant_steps: int = 0, min_lr: float = 0.0,
     constant phase."""
 
     def sched(step):
-        s = max(float(step), 1.0)
-        if s <= constant_steps:
-            return lr
-        return max(lr / s**0.5, min_lr)
+        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+        return jnp.where(s <= constant_steps, lr, jnp.maximum(lr / s**0.5, min_lr))
 
     return sched
 

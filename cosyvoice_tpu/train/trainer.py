@@ -29,17 +29,13 @@ class TrainState:
     step: jax.Array
 
 
-def make_optimizer(lr: float = 1e-4, warmup_steps: int = 2500, grad_clip: float = 5.0, scheduler: str = "warmuplr"):
-    if scheduler == "warmuplr":
-        # WarmupLR (utils/scheduler.py): lr * warmup^0.5 * min(step^-0.5, step*warmup^-1.5)
-        def sched(step):
-            s = jnp.maximum(step, 1).astype(jnp.float32)
-            return lr * warmup_steps**0.5 * jnp.minimum(s**-0.5, s * warmup_steps**-1.5)
-    elif scheduler == "constantlr":
-        def sched(step):
-            return lr
-    else:
-        raise ValueError(scheduler)
+def make_optimizer(lr: float = 1e-4, warmup_steps: int = 2500, grad_clip: float = 5.0,
+                   scheduler: str = "warmuplr", **sched_conf):
+    from cosyvoice_tpu.train.schedulers import get_scheduler
+
+    # all policies in schedulers.py are jnp-traceable, so the schedule works
+    # inside the jitted optimizer update
+    sched = get_scheduler(scheduler, lr, warmup_steps=warmup_steps, **sched_conf)
     return optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.scale_by_adam(),

@@ -237,3 +237,54 @@ class TestOnlineFeatures:
         # idempotent when tokens already present
         again = ex.add_to_batch(out)
         assert again is out or "speech_token" in again
+
+
+class TestTrainCLI:
+    def test_train_llm_one_epoch_with_cv(self, tmp_path):
+        """bin/train.py end-to-end: tiny LLM, 1 epoch over a tiny parquet with
+        --cv_data wired — checkpoint + sidecar json with cv_loss written."""
+        import json as _json
+        import os
+        import subprocess
+        import sys
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        rng = np.random.default_rng(0)
+        rows = {
+            "utt": [f"u{i}" for i in range(4)],
+            "text": ["hello world"] * 4,
+            "audio": [rng.standard_normal(24000).astype(np.float32) * 0.1 for _ in range(4)],
+            "sample_rate": [24000] * 4,
+            "utt_embedding": [rng.standard_normal(192).astype(np.float32) for _ in range(4)],
+            "speech_token": [rng.integers(0, 64, 25) for _ in range(4)],
+        }
+        path = tmp_path / "shard0.parquet"
+        pq.write_table(pa.table({k: list(v) for k, v in rows.items()}), path)
+        (tmp_path / "data.list").write_text(str(path) + "\n")
+        cfg = {
+            "llm": {
+                "speech_token_size": 64, "block_size": 8,
+                "qwen": {"hidden_size": 32, "num_layers": 1, "num_heads": 2, "num_kv_heads": 1,
+                         "head_dim": 16, "intermediate_size": 64, "vocab_size": 300,
+                         "max_cache_len": 256, "dtype": "float32"},
+            },
+            "train": {"max_epoch": 1, "log_interval": 1, "batch_type": "static", "batch_size": 2},
+        }
+        (tmp_path / "cfg.json").write_text(_json.dumps(cfg))
+        out_dir = tmp_path / "exp"
+        r = subprocess.run(
+            [sys.executable, "-m", "cosyvoice_tpu.bin.train", "--model", "llm",
+             "--config", str(tmp_path / "cfg.json"),
+             "--train_data", str(tmp_path / "data.list"), "--cv_data", str(tmp_path / "data.list"),
+             "--model_dir", str(out_dir)],
+            capture_output=True, text=True, timeout=1500, cwd=repo,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        sides = [f for f in os.listdir(out_dir) if f.endswith(".json") and "epoch1" in f]
+        assert sides, os.listdir(out_dir)
+        side = _json.load(open(out_dir / sides[0]))
+        assert "cv_loss" in side and np.isfinite(side["cv_loss"])
