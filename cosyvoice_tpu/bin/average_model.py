@@ -20,6 +20,10 @@ def main():
     with open(paths[0], "rb") as f:
         template = ser.msgpack_restore(f.read())
     avg = average_checkpoints(paths, template)
+    if isinstance(avg, dict) and set(avg.keys()) == {"generator", "discriminator"}:
+        # GAN checkpoint: keep only the generator — that's what the runtime
+        # loads as hift.msgpack (the discriminator is training-only)
+        avg = avg["generator"]
     with open(args.dst_model, "wb") as f:
         f.write(ser.to_bytes(avg))
     print(f"averaged {len(paths)} checkpoints -> {args.dst_model}")

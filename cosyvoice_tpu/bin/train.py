@@ -13,11 +13,23 @@ Usage:
 import argparse
 import json
 import logging
+import os
 import random
 from functools import partial
 
 import jax
 import numpy as np
+
+
+def grouped(it, n: int):
+    """Group an iterator into lists of n (ragged tail dropped) for
+    gradient accumulation."""
+    buf = []
+    for item in it:
+        buf.append(item)
+        if len(buf) == n:
+            yield buf
+            buf = []
 
 
 def build_pipeline(args, tokenizer, gan: bool = False):
@@ -106,13 +118,19 @@ def main():
     from cosyvoice_tpu.utils.devices import init_on_cpu, to_default_device
 
     tokenizer = get_tokenizer(args.tokenizer_path or None)
-    sched = get_scheduler(args.scheduler, args.lr, warmup_steps=args.warmup_steps)
+    # forward any scheduler-policy knobs the config's train section provided
+    # (argparse set_defaults stores unknown keys as plain namespace attrs)
+    sched_keys = ("hold_steps", "max_steps", "min_lr", "decay_rate", "d_model",
+                  "decay_steps", "power", "cycle", "constant_steps")
+    sched_conf = {k: getattr(args, k) for k in sched_keys if hasattr(args, k)}
+    sched = get_scheduler(args.scheduler, args.lr, warmup_steps=args.warmup_steps, **sched_conf)
     optimizer = optax.chain(
         optax.clip_by_global_norm(args.grad_clip),
         optax.scale_by_adam(),
         optax.scale_by_schedule(lambda s: -sched(s)),
     )
     key = jax.random.PRNGKey(args.seed)
+    accum_used = 1  # set >1 by branches that implement scan-based accumulation
 
     version = int(cfg.get("version", 2))
     if args.model == "llm" and version == 1:
@@ -124,6 +142,8 @@ def main():
         with init_on_cpu():
             params = lm.init(key)
         params = to_default_device(params)
+        if args.accum_grad > 1:
+            logging.warning("accum_grad > 1 is not implemented for the v1 LM trainer; running without")
         step = make_lm_v1_train_step(lm.module, optimizer, lm.cfg.speech_token_size)
         from cosyvoice_tpu.train.losses import lm_ce_loss
         from cosyvoice_tpu.train.trainer import v1_lm_targets
@@ -157,8 +177,9 @@ def main():
         with init_on_cpu():
             params = lm.init(key)
         params = to_default_device(params)
-        step = make_lm_train_step(lm.module, optimizer, accum_steps=1)
-        from cosyvoice_tpu.train.losses import lm_ce_loss
+        accum = accum_used = max(args.accum_grad, 1)
+        step = make_lm_train_step(lm.module, optimizer, accum_steps=accum)
+        from cosyvoice_tpu.train.losses import IGNORE_ID, lm_ce_loss
 
         @jax.jit
         def cv_fn(p, mb):
@@ -166,7 +187,29 @@ def main():
             logits = lm.module.apply(p, mb["ids"], mb["types"], mb["lengths"], method="forward_logits")
             return lm_ce_loss(logits, mb["targets"])[0]
 
-        collate = lambda b: {k: jax.numpy.asarray(v[None]) for k, v in collate_lm_batch(lm.cfg, b).items()}  # noqa: E731
+        def collate(batch_group):
+            """Stack A collated microbatches to [A, B, T] (pad rows get
+            length 1 + all-IGNORE targets so they are loss- and
+            NaN-neutral); a bare dict (CV path) is treated as A=1."""
+            groups = batch_group if isinstance(batch_group, list) else [batch_group]
+            mbs = [collate_lm_batch(lm.cfg, b) for b in groups]
+            A = len(mbs)
+            B = max(m["ids"].shape[0] for m in mbs)
+            T = max(m["ids"].shape[1] for m in mbs)
+            out = {
+                "ids": np.zeros((A, B, T), np.int32),
+                "types": np.full((A, B, T), 1, np.int32),
+                "targets": np.full((A, B, T), IGNORE_ID, np.int32),
+                "lengths": np.ones((A, B), np.int32),
+            }
+            for a, m in enumerate(mbs):
+                b_, t_ = m["ids"].shape
+                out["ids"][a, :b_, :t_] = m["ids"]
+                out["types"][a, :b_, :t_] = m["types"]
+                out["targets"][a, :b_, :t_] = m["targets"]
+                out["lengths"][a, :b_] = m["lengths"]
+            return {k: jax.numpy.asarray(v) for k, v in out.items()}
+
         pipeline = build_pipeline(args, tokenizer)
     elif args.model == "flow" and version == 1:
         from cosyvoice_tpu.models.flow_v1 import MaskedDiffFlow
@@ -212,7 +255,8 @@ def main():
         with init_on_cpu():
             params = flow.init(key)
         params = to_default_device(params)
-        flow_step = make_flow_train_step(flow, optimizer)
+        accum = accum_used = max(args.accum_grad, 1)
+        flow_step = make_flow_train_step(flow, optimizer, accum_steps=accum)
 
         def step(params, opt_state, batch, step_no):
             streaming = random.random() < 0.5  # unified training (flow.py:201)
@@ -221,17 +265,44 @@ def main():
         cv_loss_jit = jax.jit(flow.loss, static_argnames=("streaming",))
 
         def cv_fn(p, mb):
+            if accum > 1:  # CV collate also stacks; take microbatch 0
+                mb = {k: v[0] for k, v in mb.items()}
             return cv_loss_jit(p, jax.random.PRNGKey(0), mb["token"], mb["token_len"], mb["feat"],
                                mb["feat_len"], mb["embedding"], streaming=False)
 
-        def collate(b):
+        def _one(b):
             return {
-                "token": jax.numpy.asarray(b["speech_token"]),
-                "token_len": jax.numpy.asarray(b["speech_token_len"]),
-                "feat": jax.numpy.asarray(b["speech_feat"]),
-                "feat_len": jax.numpy.asarray(b["speech_feat_len"]),
-                "embedding": jax.numpy.asarray(b["embedding"]),
+                "token": np.asarray(b["speech_token"]),
+                "token_len": np.asarray(b["speech_token_len"]),
+                "feat": np.asarray(b["speech_feat"]),
+                "feat_len": np.asarray(b["speech_feat_len"]),
+                "embedding": np.asarray(b["embedding"]),
             }
+
+        def collate(batch_group):
+            if accum == 1 and not isinstance(batch_group, list):
+                return {k: jax.numpy.asarray(v) for k, v in _one(batch_group).items()}
+            groups = batch_group if isinstance(batch_group, list) else [batch_group]
+            mbs = [_one(b) for b in groups]
+            A = len(mbs)
+            B = max(m["token"].shape[0] for m in mbs)
+            L = max(m["token"].shape[1] for m in mbs)
+            Tm = max(m["feat"].shape[1] for m in mbs)
+            out = {
+                "token": np.zeros((A, B, L), np.int32),
+                "token_len": np.ones((A, B), np.int32),
+                "feat": np.zeros((A, B, Tm, 80), np.float32),
+                "feat_len": np.full((A, B), 2, np.int32),
+                "embedding": np.zeros((A, B, mbs[0]["embedding"].shape[-1]), np.float32),
+            }
+            for a, m in enumerate(mbs):
+                b_ = m["token"].shape[0]
+                out["token"][a, :b_, : m["token"].shape[1]] = m["token"]
+                out["token_len"][a, :b_] = m["token_len"]
+                out["feat"][a, :b_, : m["feat"].shape[1]] = m["feat"]
+                out["feat_len"][a, :b_] = m["feat_len"]
+                out["embedding"][a, :b_] = m["embedding"]
+            return {k: jax.numpy.asarray(v) for k, v in out.items()}
 
         pipeline = build_pipeline(args, tokenizer)
     else:  # hifigan: dual-optimizer GAN loop (reference executor.py:85-144)
@@ -247,6 +318,22 @@ def main():
         with init_on_cpu():
             gen_params = hift.init(key, jnp.zeros((1, 8, 80)), key)
             disc_params = disc.init(key, jnp.zeros((1, 24480)))
+        # resume: accept either a {"generator","discriminator"} GAN checkpoint
+        # or a bare generator tree (a converted pretrained hift.msgpack)
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            import flax.serialization as ser
+
+            with open(args.checkpoint, "rb") as f:
+                blob = f.read()
+            try:
+                both = ser.from_bytes({"generator": gen_params, "discriminator": disc_params}, blob)
+                gen_params, disc_params = both["generator"], both["discriminator"]
+                logging.info("resumed GAN checkpoint %s", args.checkpoint)
+            except Exception:  # noqa: BLE001 — generator-only checkpoint
+                gen_params = ser.from_bytes(gen_params, blob)
+                logging.info("resumed generator-only checkpoint %s", args.checkpoint)
+        elif args.checkpoint:
+            logging.warning("checkpoint %s not found; training hifigan from scratch", args.checkpoint)
         gen_params = to_default_device(gen_params)
         disc_params = to_default_device(disc_params)
         g_opt = optax.adam(2e-4)
@@ -257,12 +344,15 @@ def main():
         g_state, d_state = g_opt.init(gen_params), d_opt.init(disc_params)
 
         dataset = Dataset(args.train_data, build_pipeline(args, tokenizer, gan=True), rank=rank, world_size=world)
-        executor = Executor(lambda *a: a, args.model_dir, model_name="hift", log_interval=args.log_interval, rank=rank)
+        # model_name matches the recipes' --model_name hifigan in averaging
+        executor = Executor(lambda *a: a, args.model_dir, model_name="hifigan",
+                            log_interval=args.log_interval, rank=rank)
         import jax as _jax
 
         step_no = 0
         for epoch in range(args.max_epoch):
             dataset.set_epoch(epoch)
+            gen_losses = []
             for b in iter(dataset):
                 batch = {
                     "speech": _jax.numpy.asarray(b["speech"]),
@@ -273,12 +363,19 @@ def main():
                 gen_params, g_state, gm = gen_step(gen_params, g_state, disc_params, batch, k)
                 disc_params, d_state, dm = disc_step(disc_params, d_state, gen_params, batch, k)
                 step_no += 1
+                gen_losses.append(float(gm["loss"]))
                 if step_no % args.log_interval == 0:
                     logging.info("gan step %d gen=%.4f disc=%.4f", step_no, float(gm["loss"]), float(dm["loss"]))
             if rank == 0:
-                executor.epoch = epoch
+                executor.epoch = epoch + 1
                 executor.step = step_no
-                executor.save({"generator": gen_params, "discriminator": disc_params}, (g_state, d_state))
+                # epoch-mean generator loss stands in for cv_loss so best-N
+                # averaging works (GAN losses have no held-out CV analog)
+                executor.save(
+                    {"generator": gen_params, "discriminator": disc_params},
+                    (g_state, d_state),
+                    {"cv_loss": float(np.mean(gen_losses)) if gen_losses else float("inf")},
+                )
         return
 
     dataset = Dataset(args.train_data, pipeline, rank=rank, world_size=world)
@@ -297,8 +394,9 @@ def main():
         executor.save(params, opt_state, {"note": "init"})
     for epoch in range(args.max_epoch):
         dataset.set_epoch(epoch)
+        train_iter = grouped(iter(dataset), accum_used) if accum_used > 1 else iter(dataset)
         params, opt_state = executor.train_one_epoch(
-            params, opt_state, iter(dataset), collate, cv_fn=cv_fn, cv_iter=cv_iter_fn
+            params, opt_state, train_iter, collate, cv_fn=cv_fn, cv_iter=cv_iter_fn
         )
         if rank == 0:
             cv_metrics = (

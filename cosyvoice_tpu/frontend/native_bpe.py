@@ -24,9 +24,13 @@ def _build_lib() -> str:
         return _SO
     if os.environ.get("COSY_BPE_NO_BUILD"):
         raise RuntimeError("native bpe lib missing and COSY_BPE_NO_BUILD set")
+    # atomic: build to a pid-unique temp then rename (concurrent first-use
+    # builds must never CDLL a partially written .so)
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     subprocess.check_call(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", os.path.join(_SRC, "bpe_tokenizer.cc"), "-o", _SO]
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", os.path.join(_SRC, "bpe_tokenizer.cc"), "-o", tmp]
     )
+    os.replace(tmp, _SO)
     return _SO
 
 

@@ -18,6 +18,8 @@ import numpy as np
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
 _SO = os.path.join(_SRC, "libf0_yin.so")
 _lib: Optional[ctypes.CDLL] = None
+_build_failed = False  # cache failure: don't re-spawn g++ per sample
+_warned_fallback = False
 
 
 def _build_lib() -> str:
@@ -26,14 +28,25 @@ def _build_lib() -> str:
         return _SO
     if os.environ.get("COSY_F0_NO_BUILD"):
         raise RuntimeError("native f0 lib missing and COSY_F0_NO_BUILD set")
-    subprocess.check_call(["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", _SO])
+    # atomic build: compile to a pid-unique temp then rename, so concurrent
+    # first-use builds (multi-process data pipelines on a shared checkout)
+    # never CDLL a partially written file
+    tmp = f"{_SO}.{os.getpid()}.tmp"
+    subprocess.check_call(["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp])
+    os.replace(tmp, _SO)
     return _SO
 
 
 def _get_lib() -> ctypes.CDLL:
-    global _lib
+    global _lib, _build_failed
+    if _build_failed:
+        raise RuntimeError("native f0 build failed earlier in this process")
     if _lib is None:
-        lib = ctypes.CDLL(_build_lib())
+        try:
+            lib = ctypes.CDLL(_build_lib())
+        except Exception:
+            _build_failed = True
+            raise
         lib.yin_f0.restype = ctypes.c_int
         lib.yin_f0.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -128,6 +141,12 @@ def extract_f0(wav: np.ndarray, sample_rate: int, hop: int, n_frames: int) -> np
     try:
         f0 = yin_f0(wav, sample_rate, hop)
     except Exception:
+        global _warned_fallback
+        if not _warned_fallback:
+            import logging
+
+            logging.warning("native YIN unavailable; using the ~100x slower numpy fallback")
+            _warned_fallback = True
         f0 = yin_f0_numpy(wav, sample_rate, hop)
     if len(f0) == 0:
         return np.zeros(n_frames, np.float32)

@@ -164,15 +164,22 @@ class CosyVoice2:
             yield out
             start = time.time()
 
-    def _run_segments(self, jobs, stream: bool, speed: float):
-        """jobs: [(model_input, text_len)]. Offline multi-segment synthesis
-        with continuous batching enabled runs all segments CONCURRENTLY
-        through the shared LM decode loop and yields chunks in segment order
-        (long-text latency ≈ one segment instead of the sum — the TRT-LLM
-        batched-offline role; the reference synthesizes segments serially).
-        Streaming or single-segment requests keep the serial path."""
+    def _run_segments(self, job_iter, stream: bool, speed: float):
+        """job_iter lazily yields (model_input, text_len) per text segment.
+        Offline multi-segment synthesis with continuous batching enabled
+        runs the segments CONCURRENTLY through the shared LM decode loop and
+        yields chunks in segment order (long-text latency ≈ one segment
+        instead of the sum — the TRT-LLM batched-offline role; the reference
+        synthesizes segments serially). Streaming and scheduler-less
+        requests keep the lazy serial path: segment 1's audio starts after
+        ONE frontend pass, the other segments' frontends run as reached."""
         scheduler = getattr(self.engine, "scheduler", None)
-        if stream or scheduler is None or len(jobs) <= 1:
+        if stream or scheduler is None:
+            for mi, ln in job_iter:
+                yield from self._run(mi, stream, speed, ln)
+            return
+        jobs = list(job_iter)
+        if len(jobs) <= 1:
             for mi, ln in jobs:
                 yield from self._run(mi, stream, speed, ln)
             return
@@ -187,28 +194,30 @@ class CosyVoice2:
         self, tts_text, prompt_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True
     ):
         prompt_texts = self.frontend.text_normalize(prompt_text, split=False) if text_frontend else prompt_text
-        jobs = []
-        for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
-            if len(seg) < 0.5 * len(prompt_text):
-                logging.warning("synthesis text %s too short compared to prompt text %s", seg, prompt_text)
-            jobs.append((self.frontend.frontend_zero_shot(seg, prompt_texts, prompt_wav, zero_shot_spk_id), len(seg)))
-        yield from self._run_segments(jobs, stream, speed)
+
+        def jobs():
+            for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+                if len(seg) < 0.5 * len(prompt_text):
+                    logging.warning("synthesis text %s too short compared to prompt text %s", seg, prompt_text)
+                yield self.frontend.frontend_zero_shot(seg, prompt_texts, prompt_wav, zero_shot_spk_id), len(seg)
+
+        yield from self._run_segments(jobs(), stream, speed)
 
     def inference_cross_lingual(self, tts_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True):
-        jobs = [
-            (self.frontend.frontend_cross_lingual(seg, prompt_wav, zero_shot_spk_id), len(seg))
-            for seg in (self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text])
-        ]
-        yield from self._run_segments(jobs, stream, speed)
+        def jobs():
+            for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+                yield self.frontend.frontend_cross_lingual(seg, prompt_wav, zero_shot_spk_id), len(seg)
+
+        yield from self._run_segments(jobs(), stream, speed)
 
     def inference_instruct2(
         self, tts_text, instruct_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True
     ):
-        jobs = [
-            (self.frontend.frontend_instruct2(seg, instruct_text, prompt_wav, zero_shot_spk_id), len(seg))
-            for seg in (self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text])
-        ]
-        yield from self._run_segments(jobs, stream, speed)
+        def jobs():
+            for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+                yield self.frontend.frontend_instruct2(seg, instruct_text, prompt_wav, zero_shot_spk_id), len(seg)
+
+        yield from self._run_segments(jobs(), stream, speed)
 
     def inference_vc(self, source_speech_16k, prompt_wav, stream=False, speed=1.0):
         mi = self.frontend.frontend_vc(source_speech_16k, prompt_wav)

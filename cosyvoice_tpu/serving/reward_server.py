@@ -51,7 +51,7 @@ def cer(hyp: str, ref: str) -> float:
 
 
 def make_reward_fn(model, asr_fn):
-    from cosyvoice_tpu.runtime.engine import SessionState
+    from cosyvoice_tpu.runtime.engine import CosyVoiceV1Engine, SessionState, V1SessionState
 
     spk_dim = model.flow.cfg.spk_embed_dim
 
@@ -59,10 +59,12 @@ def make_reward_fn(model, asr_fn):
         tokens = np.asarray(tokens, np.int32).reshape(-1)
         if tokens.size == 0:
             return 0.0
-        wav = model.engine.token2wav(
-            SessionState(), tokens, np.zeros(0, np.int32), np.zeros((1, 0, 80), np.float32),
-            np.zeros((1, spk_dim), np.float32), token_offset=0, finalize=True,
-        )
+        no_prompt = (np.zeros(0, np.int32), np.zeros((1, 0, 80), np.float32),
+                     np.zeros((1, spk_dim), np.float32))
+        if isinstance(model.engine, CosyVoiceV1Engine):
+            wav = model.engine.token2wav(V1SessionState(), tokens, *no_prompt, finalize=True)
+        else:
+            wav = model.engine.token2wav(SessionState(), tokens, *no_prompt, token_offset=0, finalize=True)
         hyp = asr_fn(np.asarray(wav).reshape(-1), model.sample_rate)
         return 1.0 - min(cer(hyp, ground_truth), 1.0)
 
@@ -76,7 +78,11 @@ def make_server(reward_fn, host: str = "0.0.0.0", port: int = 8000) -> Threading
             inputs = {i.get("name"): i for i in body.get("inputs", [])}
             toks = np.asarray(inputs["TOKENS"]["data"], np.int32).reshape(inputs["TOKENS"]["shape"])
             gts = inputs["GT"]["data"]
-            preds = [float(reward_fn(toks[i], gts[i])) for i in range(toks.shape[0])]
+            if "TOKEN_LENS" in inputs:  # batched rollouts are pad-aligned
+                lens = np.asarray(inputs["TOKEN_LENS"]["data"], np.int32).reshape(-1)
+            else:
+                lens = np.full(toks.shape[0], toks.shape[1], np.int32)
+            preds = [float(reward_fn(toks[i, : lens[i]], gts[i])) for i in range(toks.shape[0])]
             data = json.dumps(
                 {"outputs": [{"name": "REWARD", "shape": [len(preds)], "datatype": "FP32", "data": preds}]}
             ).encode()

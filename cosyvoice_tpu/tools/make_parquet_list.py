@@ -40,6 +40,8 @@ def main():
 
     os.makedirs(args.des_dir, exist_ok=True)
     utts = [u for u in utt2wav if u in utt2text and u in utt2embedding and u in utt2token]
+    if utt2instruct is not None:  # partial instruct files must not KeyError mid-shard
+        utts = [u for u in utts if u in utt2instruct]
     if args.dpo:
         utts = [u for u in utts if u in utt2reject]
     paths = []

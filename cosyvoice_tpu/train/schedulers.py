@@ -10,7 +10,7 @@ construction — the trainer passes the restored global step.
 import jax.numpy as jnp
 
 
-def warmup_lr(lr: float, warmup_steps: int = 25000):
+def warmup_lr(lr: float, warmup_steps: int = 25000, **_):
     """WarmupLR (scheduler.py:27-72): lr * w^0.5 * min(s^-0.5, s*w^-1.5)."""
 
     def sched(step):
@@ -24,7 +24,7 @@ def constant_lr(lr: float, **_):
     return lambda step: jnp.asarray(lr, jnp.float32)
 
 
-def noam_hold_annealing(lr: float, warmup_steps: int, hold_steps: int, decay_rate: float = 0.5, min_lr: float = 0.0):
+def noam_hold_annealing(lr: float, warmup_steps: int = 2500, hold_steps: int = 25000, decay_rate: float = 0.5, min_lr: float = 0.0, **_):
     """NoamHoldAnnealing (scheduler.py): warmup -> hold -> polynomial decay."""
 
     def sched(step):
@@ -37,7 +37,7 @@ def noam_hold_annealing(lr: float, warmup_steps: int, hold_steps: int, decay_rat
     return sched
 
 
-def cosine_annealing(lr: float, warmup_steps: int, max_steps: int, min_lr: float = 0.0):
+def cosine_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 100000, min_lr: float = 0.0, **_):
     def sched(step):
         s = jnp.asarray(step, jnp.float32)
         warm = lr * jnp.maximum(s, 1.0) / max(warmup_steps, 1)
@@ -48,7 +48,7 @@ def cosine_annealing(lr: float, warmup_steps: int, max_steps: int, min_lr: float
     return sched
 
 
-def square_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 100000, min_lr: float = 0.0):
+def square_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 100000, min_lr: float = 0.0, **_):
     """SquareAnnealing (scheduler.py:384-389,444-470): warmup then (1-p)^2 decay."""
 
     def sched(step):
@@ -61,7 +61,7 @@ def square_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 100000, 
     return sched
 
 
-def squareroot_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 100000, min_lr: float = 0.0):
+def squareroot_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 100000, min_lr: float = 0.0, **_):
     """SquareRootAnnealing (scheduler.py:377-382,471-496)."""
 
     def sched(step):
@@ -74,7 +74,7 @@ def squareroot_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 1000
     return sched
 
 
-def noam_annealing(lr: float, d_model: int = 512, warmup_steps: int = 0, min_lr: float = 0.0):
+def noam_annealing(lr: float, d_model: int = 512, warmup_steps: int = 0, min_lr: float = 0.0, **_):
     """NoamAnnealing (scheduler.py:558-621): d^-0.5 * min(s^-0.5, s*w^-1.5)."""
 
     def sched(step):
@@ -91,7 +91,7 @@ def noam_annealing(lr: float, d_model: int = 512, warmup_steps: int = 0, min_lr:
 
 
 def polynomial_decay(lr: float, decay_steps: int = 100000, power: float = 1.0,
-                     min_lr: float = 0.0, cycle: bool = False, warmup_steps: int = 0):
+                     min_lr: float = 0.0, cycle: bool = False, warmup_steps: int = 0, **_):
     """PolynomialDecayAnnealing (scheduler.py:421-430)."""
 
     def sched(step):
@@ -109,9 +109,24 @@ def polynomial_decay(lr: float, decay_steps: int = 100000, power: float = 1.0,
     return sched
 
 
+def warmup_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 100000, min_lr: float = 0.0, **_):
+    """NeMo-lineage WarmupAnnealing: linear warmup then LINEAR decay to
+    min_lr over max_steps (distinct from the cosine policy below)."""
+
+    def sched(step):
+        s = jnp.asarray(step, jnp.float32)
+        warm = lr * jnp.maximum(s, 1.0) / max(warmup_steps, 1)
+        frac = jnp.clip((max_steps - s) / max(max_steps - warmup_steps, 1), 0.0, 1.0)
+        ann = (lr - min_lr) * frac + min_lr
+        return jnp.where((warmup_steps > 0) & (s <= warmup_steps), warm, ann)
+
+    return sched
+
+
 def linear_warmup_cosine_annealing(lr: float, warmup_steps: int = 0, decay_steps: int = 100000,
-                                   min_lr: float = 0.0):
-    """WarmupAnnealHoldPolicy cosine variant (scheduler.py:397-418)."""
+                                   min_lr: float = 0.0, **_):
+    """Linear warmup + cosine decay (scheduler.py:397-418
+    _linear_warmup_with_cosine_annealing)."""
 
     def sched(step):
         s = jnp.asarray(step, jnp.float32)
@@ -144,7 +159,8 @@ SCHEDULERS = {
     "SquareRootAnnealing": squareroot_annealing,
     "NoamAnnealing": noam_annealing,
     "PolynomialDecayAnnealing": polynomial_decay,
-    "WarmupAnnealing": linear_warmup_cosine_annealing,
+    "WarmupAnnealing": warmup_annealing,
+    "linear_warmup_cosine_annealing": linear_warmup_cosine_annealing,
     "SquareRootConstantPolicy": squareroot_constant,
 }
 

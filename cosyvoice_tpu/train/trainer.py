@@ -139,19 +139,35 @@ def make_lm_v1_train_step(lm_module, optimizer, speech_token_size: int):
     return jax.jit(step_fn, donate_argnums=(0, 1))
 
 
-def make_flow_train_step(flow, optimizer, mesh=None):
+def make_flow_train_step(flow, optimizer, mesh=None, accum_steps: int = 1):
     """Flow CFM training step (data-parallel). batch keys: token, token_len,
-    feat, feat_len, embedding; `streaming` is sampled per-step by the caller
-    (unified training, flow.py:201)."""
+    feat, feat_len, embedding — with a leading accum axis A when
+    accum_steps > 1 (lax.scan over microbatches, like the LM step);
+    `streaming` is sampled per-step by the caller (unified training,
+    flow.py:201)."""
+
+    def loss_fn(params, mb, rng, streaming):
+        return flow.loss(
+            params, rng, mb["token"], mb["token_len"], mb["feat"], mb["feat_len"],
+            mb["embedding"], streaming=streaming,
+        )
 
     def step_fn(params, opt_state, batch, rng, streaming):
-        def loss_fn(p):
-            return flow.loss(
-                p, rng, batch["token"], batch["token_len"], batch["feat"], batch["feat_len"],
-                batch["embedding"], streaming=streaming,
-            )
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng, streaming)
+        else:
+            def micro(carry, mb_rng):
+                mb, r = mb_rng
+                grads_acc, loss_acc = carry
+                mb_loss, g = jax.value_and_grad(loss_fn)(params, mb, r, streaming)
+                return (jax.tree_util.tree_map(lambda a, b: a + b, grads_acc, g), loss_acc + mb_loss), None
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            rngs = jax.random.split(rng, accum_steps)
+            (grads, loss), _ = jax.lax.scan(micro, (zero, 0.0), (batch, rngs))
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss * inv
         gnorm = optax.global_norm(grads)
         finite = jnp.isfinite(gnorm)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)

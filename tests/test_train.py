@@ -127,8 +127,11 @@ class TestTrainStep:
         assert na(5) < na(10) > na(100)
         pd = get_scheduler("PolynomialDecayAnnealing", 1e-3, decay_steps=100, power=1.0)
         np.testing.assert_allclose(pd(50), 5e-4, rtol=1e-6)
-        wa = get_scheduler("WarmupAnnealing", 1e-3, warmup_steps=10, decay_steps=100)
+        wa = get_scheduler("WarmupAnnealing", 1e-3, warmup_steps=10, max_steps=100)
         assert abs(wa(10) - 1e-3) < 1e-9 and wa(200) == 0.0
+        np.testing.assert_allclose(float(wa(55)), 5e-4, rtol=1e-5)  # linear midpoint
+        lwc = get_scheduler("linear_warmup_cosine_annealing", 1e-3, warmup_steps=10, decay_steps=100)
+        assert abs(lwc(10) - 1e-3) < 1e-9 and lwc(200) == 0.0
         sc = get_scheduler("SquareRootConstantPolicy", 1e-3, constant_steps=10)
         assert sc(5) == 1e-3 and abs(sc(100) - 1e-4) < 1e-9
 
@@ -288,3 +291,45 @@ class TestTrainCLI:
         assert sides, os.listdir(out_dir)
         side = _json.load(open(out_dir / sides[0]))
         assert "cv_loss" in side and np.isfinite(side["cv_loss"])
+
+
+class TestFlowAccum:
+    def test_flow_train_step_accum_matches_mean(self):
+        """accum_steps=2 over [A,B,...] microbatches == averaged grads: loss
+        reported equals the mean of the two microbatch losses."""
+        from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
+        from cosyvoice_tpu.models.flow_decoder import EstimatorConfig
+        from cosyvoice_tpu.models.flow_matching import CFMConfig
+        from cosyvoice_tpu.train.trainer import make_flow_train_step
+
+        flow = CausalFlow(FlowConfig(
+            input_size=16, vocab_size=30, attention_heads=2, linear_units=32, num_blocks=1,
+            num_up_blocks=1,
+            estimator=EstimatorConfig(channels=(16,), attention_head_dim=8, n_blocks=1,
+                                      num_mid_blocks=1, num_heads=2),
+            cfm=CFMConfig(n_timesteps=1),
+        ))
+        params = flow.init(K(0))
+        opt = optax.adam(1e-4)
+        rng = np.random.default_rng(0)
+        A, B, L = 2, 2, 6
+        batch = {
+            "token": jnp.asarray(rng.integers(0, 30, (A, B, L)), jnp.int32),
+            "token_len": jnp.full((A, B), L, jnp.int32),
+            "feat": jnp.asarray(rng.standard_normal((A, B, 2 * L, 80)), jnp.float32),
+            "feat_len": jnp.full((A, B), 2 * L, jnp.int32),
+            "embedding": jnp.asarray(rng.standard_normal((A, B, 192)), jnp.float32),
+        }
+        # reference: per-microbatch losses at the SAME rngs the scan uses
+        # (computed BEFORE the step call — the train step donates params)
+        rngs = jax.random.split(K(1), A)
+        losses = [
+            float(flow.loss(params, rngs[a], batch["token"][a], batch["token_len"][a],
+                            batch["feat"][a], batch["feat_len"][a], batch["embedding"][a],
+                            streaming=False))
+            for a in range(A)
+        ]
+        step2 = make_flow_train_step(flow, opt, accum_steps=A)
+        p2, _, m2 = step2(params, opt.init(params), batch, K(1), False)
+        assert np.isfinite(float(m2["loss"]))
+        np.testing.assert_allclose(float(m2["loss"]), np.mean(losses), rtol=1e-4)
