@@ -349,11 +349,14 @@ class CosyVoice2Engine:
         """Yields {'tts_speech': np.ndarray [1, n]} chunks."""
         c = self.lm.cfg
         # codec-vocab mismatch guard: out-of-range ids silently corrupt the
-        # embedding gathers downstream (NaN audio), so fail loudly instead
+        # embedding gathers downstream (NaN audio), so fail loudly instead.
+        # (RemoteEngine has no local flow — its token2wav worker re-checks.)
+        flow_cfg = getattr(getattr(self, "flow", None), "cfg", None)
+        flow_vocab = flow_cfg.vocab_size if flow_cfg is not None else c.speech_token_size
         for name, arr, vocab in (
             ("llm_prompt_speech_token", llm_prompt_speech_token, c.speech_token_size),
-            ("flow_prompt_speech_token", flow_prompt_speech_token, self.flow.cfg.vocab_size),
-            ("source_speech_token", source_speech_token, self.flow.cfg.vocab_size),
+            ("flow_prompt_speech_token", flow_prompt_speech_token, flow_vocab),
+            ("source_speech_token", source_speech_token, flow_vocab),
         ):
             if arr is not None and np.asarray(arr).size and int(np.max(arr)) >= vocab:
                 raise ValueError(
