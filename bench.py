@@ -143,7 +143,6 @@ def main():
     q_params = to_default_device(q_params)
     lm_dev_int8_s = lm_block_time(q_lm, q_params, n_tokens)
     print(f"# lm_dev_int8 {lm_dev_int8_s:.4f}", flush=True)
-    del q_params
 
     # ---- token2wav: fused offline program (flow + mel slice + vocoder) ----
     tokens = rng.integers(0, 6561, n_tokens).astype(np.int32)
@@ -180,14 +179,16 @@ def main():
     zmel = jnp.zeros((1, engine.mel_cache_len, 80))
     zsrc = jnp.zeros((1, engine.source_cache_len))
 
-    def first_chunk_once(seed):
-        cache = lm.init_cache(1, length=arena)
-        l3, cache = lm._jit_prefill(
-            lm_params, jnp.asarray(ids_d), jnp.asarray(types_d), jnp.asarray([len(ids)]), cache
+    def first_chunk_once(seed, model=None, params=None):
+        model = model or lm
+        params = lm_params if params is None else params
+        cache = model.init_cache(1, length=arena)
+        l3, cache = model._jit_prefill(
+            params, jnp.asarray(ids_d), jnp.asarray(types_d), jnp.asarray([len(ids)]), cache
         )
-        o3 = lm._jit_decode_block(
-            lm_params, K(seed), cache, jnp.asarray([len(ids)]), l3,
-            jnp.full((1, lm.cfg.win_size), -1, jnp.int32), jnp.zeros((1,), jnp.int32),
+        o3 = model._jit_decode_block(
+            params, K(seed), cache, jnp.asarray([len(ids)]), l3,
+            jnp.full((1, model.cfg.win_size), -1, jnp.int32), jnp.zeros((1,), jnp.int32),
             jnp.asarray([n_tokens], jnp.int32), jnp.zeros((1,), bool), 28,
         )
         out_c = engine._jit_t2w_stream(
@@ -209,6 +210,16 @@ def main():
     _sync([o for pair in outs for o in pair])
     first_chunk_dev_ms = ((time.time() - t0) - rt_s) / n_rep * 1000.0
     print(f"# first_chunk_dev {first_chunk_dev_ms:.1f}ms (tunnel rt {rt_s*1000:.1f}ms subtracted)", flush=True)
+
+    # same first-chunk path with the int8 LM (the production serving config)
+    for seed in (12, 13):
+        _sync(list(first_chunk_once(seed, q_lm, q_params)))
+    t0 = time.time()
+    outs = [first_chunk_once(40 + 2 * i, q_lm, q_params) for i in range(n_rep)]
+    _sync([o for pair in outs for o in pair])
+    first_chunk_int8_ms = ((time.time() - t0) - rt_s) / n_rep * 1000.0
+    print(f"# first_chunk_dev_int8 {first_chunk_int8_ms:.1f}ms", flush=True)
+    del q_params
 
     # ---- wall-clock end-to-end through the public engine (includes the
     # tunnel: real users on-host would not pay these round trips) ----
@@ -276,6 +287,7 @@ def main():
                 "lm_device_s_int8": round(lm_dev_int8_s, 4),
                 "t2w_device_s": round(t2w_dev_s, 4),
                 "first_chunk_ms_device": round(first_chunk_dev_ms, 1),
+                "first_chunk_ms_device_int8": round(first_chunk_int8_ms, 1),
                 "rtf_wall_via_tunnel": round(rtf_wall, 4),
                 "first_chunk_ms_wall": round(first_chunk_ms, 1),
                 "tunnel_rt_ms": round(rt_s * 1000.0, 1),
