@@ -280,13 +280,28 @@ class Qwen2LM:
         c = self.cfg
         block_size = block_size or c.block_size
         T = len(prompt_ids)
-        # tail-pad prompt to a bucket to bound prefill recompiles
-        bucket = 128
+        # tail-pad prompt to a bucket to bound prefill recompiles (capped so
+        # small-cache configs keep room to decode)
+        bucket = min(128, max(c.qwen.max_cache_len // 4, 8))
         pad_T = ((T + bucket - 1) // bucket) * bucket
         ids = np.zeros((1, pad_T), np.int32)
         types = np.full((1, pad_T), TYPE_SPEECH, np.int32)
         ids[0, :T] = prompt_ids
         types[0, :T] = prompt_types
+
+        # arena capacity guard: past max_cache_len the KV writes/rope slices
+        # would silently clamp to the last slot and garble output — clamp
+        # max_len to whole blocks that fit and say so
+        capacity = ((c.qwen.max_cache_len - pad_T - 1) // block_size) * block_size
+        if max_len > capacity:
+            import logging
+
+            logging.warning(
+                "max_len %d exceeds KV arena capacity (max_cache_len=%d, prompt pad %d); clamping to %d",
+                max_len, c.qwen.max_cache_len, pad_T, capacity,
+            )
+            max_len = max(capacity, 0)
+            min_len = min(min_len, max_len)
 
         cache = self.init_cache(1, length=self.arena_bucket(pad_T + block_size + 1))
         logits, cache = self._jit_prefill(params, jnp.asarray(ids), jnp.asarray(types), jnp.asarray([T]), cache)
@@ -382,6 +397,16 @@ class Qwen2LM:
                 stop = np.nonzero(toks >= c.speech_token_size)[0]
                 if len(stop):
                     emit = toks[: stop[0]]
+                    # roll the arena position back over the sampled fill: the
+                    # reference never feeds it (llm.py:635-641 breaks before
+                    # the lm_input update), so the next text segment must land
+                    # right after the last REAL token. In-block, the fill step
+                    # advanced the device cur by exactly 1 and then froze
+                    # (fin), so device rollback is 1; the host worst-case
+                    # mirror advanced by `steps`. Entries at/beyond cur are
+                    # masked out and overwritten by the next extend.
+                    cur = cur - 1
+                    cur_host -= steps - int(stop[0])
                     out_count += len(emit)
                     produced += len(emit)
                     if len(emit):

@@ -58,7 +58,10 @@ def ras_sampling(
     """
     rng1, rng2 = jax.random.split(rng)
     cand = nucleus_sampling(rng1, logp, top_p=top_p, top_k=top_k)
-    valid = jnp.arange(recent_tokens.shape[0]) < recent_len
+    # ring fills shift-left/append-right: the recent_len REAL tokens occupy
+    # the RIGHT end, -1 padding the left
+    n = recent_tokens.shape[0]
+    valid = jnp.arange(n) >= n - recent_len
     rep = jnp.sum((recent_tokens == cand) & valid)
     resampled = jax.random.categorical(rng2, jnp.where(jnp.arange(logp.shape[0]) == cand, NEG_INF, logp))
     return jnp.where(rep >= win_size * tau_r, resampled, cand).astype(jnp.int32)

@@ -147,7 +147,13 @@ class CosyVoice2:
     # ---------------- inference modes ----------------
     def _run(self, model_input: dict, stream: bool, speed: float, text_len_s: float):
         start = time.time()
+        extra = {}
+        if model_input.get("llm_embedding") is not None:
+            # v1 conditions the LM on its own speaker vector (engine.py:689);
+            # the v2/v3 engine has no such kwarg
+            extra["llm_embedding"] = model_input["llm_embedding"]
         for out in self.engine.tts(
+            **extra,
             text_tokens=model_input.get("text_tokens", np.zeros(0, np.int32)),
             prompt_text_tokens=model_input.get("prompt_text_tokens", np.zeros(0, np.int32)),
             llm_prompt_speech_token=model_input.get("llm_prompt_speech_token", np.zeros(0, np.int32)),
@@ -298,6 +304,7 @@ class CosyVoice:
     add_zero_shot_spk = CosyVoice2.add_zero_shot_spk
     save_spkinfo = CosyVoice2.save_spkinfo
     _run = CosyVoice2._run
+    _run_segments = CosyVoice2._run_segments
     inference_zero_shot = CosyVoice2.inference_zero_shot
     inference_cross_lingual = CosyVoice2.inference_cross_lingual
     inference_vc = CosyVoice2.inference_vc
@@ -357,7 +364,10 @@ class CosyVoice3(CosyVoice2):
     def inference_instruct2(
         self, tts_text, instruct_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True
     ):
-        assert "<|endofprompt|>" not in instruct_text or True
+        # the frontend appends the <|endofprompt|> delimiter itself
+        # (reference llm.py:586-590); a stray one inside instruct_text would
+        # silently split the prompt at the wrong place
+        assert "<|endofprompt|>" not in instruct_text, "instruct_text must not contain <|endofprompt|>"
         yield from super().inference_instruct2(
             tts_text, instruct_text, prompt_wav, zero_shot_spk_id, stream, speed, text_frontend
         )

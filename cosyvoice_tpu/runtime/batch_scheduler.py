@@ -59,6 +59,8 @@ class SessionHandle:
             item = self._q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise RuntimeError("batch scheduler failed while serving this session") from item
             yield item
 
     def _push(self, toks: np.ndarray):
@@ -67,6 +69,9 @@ class SessionHandle:
 
     def _close(self):
         self._q.put(None)
+
+    def _fail(self, exc: BaseException):
+        self._q.put(exc)
 
 
 class LMBatchScheduler:
@@ -102,6 +107,7 @@ class LMBatchScheduler:
 
         self.slots: List[Optional[_Session]] = [None] * max_batch
         self.pending: "queue.Queue" = queue.Queue()
+        self._parked = None  # oldest pending item held out of the queue (keeps FIFO)
         self.rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -161,10 +167,14 @@ class LMBatchScheduler:
         admitted = False
         for b in range(self.B):
             if self.slots[b] is None:
-                try:
-                    prompt_ids, prompt_types, sess = self.pending.get_nowait()
-                except queue.Empty:
-                    break
+                if self._parked is not None:
+                    item, self._parked = self._parked, None
+                else:
+                    try:
+                        item = self.pending.get_nowait()
+                    except queue.Empty:
+                        break
+                prompt_ids, prompt_types, sess = item
                 self._admit(b, prompt_ids, prompt_types, sess)
                 admitted = True
         if self.n_active == 0:
@@ -203,16 +213,29 @@ class LMBatchScheduler:
 
     # ------------------------------------------------------------------
     def _loop(self):
+        import logging
+
         while not self._stop.is_set():
-            with self._lock:
-                worked = self.step()
+            try:
+                with self._lock:
+                    worked = self.step()
+            except Exception as e:  # noqa: BLE001 — a dead loop wedges every consumer
+                logging.exception("batch scheduler step failed; failing %d live sessions", self.n_active)
+                with self._lock:
+                    for b in range(self.B):
+                        if self.slots[b] is not None:
+                            self.slots[b].handle._fail(e)
+                            self.slots[b] = None
+                    self.finished = jnp.ones((self.B,), bool)
+                continue
             if not worked and self.n_active == 0:
-                # idle: park until a submission arrives (or stop)
-                try:
-                    item = self.pending.get(timeout=0.05)
-                except queue.Empty:
-                    continue
-                self.pending.put(item)
+                # idle: hold the next submission out of the queue (a get+put
+                # round trip would rotate it behind newer arrivals)
+                if self._parked is None:
+                    try:
+                        self._parked = self.pending.get(timeout=0.05)
+                    except queue.Empty:
+                        continue
 
     def start(self):
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -226,6 +249,9 @@ class LMBatchScheduler:
         # flush: close all live handles and drain pending submissions
         for b in range(self.B):
             self._retire(b)
+        if self._parked is not None:
+            self._parked[2].handle._close()
+            self._parked = None
         while True:
             try:
                 _, _, sess = self.pending.get_nowait()

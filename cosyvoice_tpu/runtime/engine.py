@@ -569,6 +569,7 @@ class CosyVoiceV1Engine:
         fr = flow.cfg.input_frame_rate
         self.token_min_hop_len = 2 * fr
         self.token_max_hop_len = 4 * fr
+        self.stream_scale_factor = 2  # hop growth per chunk (cli/model.py:50,209)
         self.token_overlap_len = flow.cfg.token_overlap_len
         self.mel_overlap_len = flow.cfg.overlap_mel
         self.mel_window = np.hamming(2 * self.mel_overlap_len)
@@ -720,6 +721,9 @@ class CosyVoiceV1Engine:
                     prompt_speech_feat, flow_embedding, finalize=False,
                 )
                 pending = pending[hop:]
+                # growing hop (reference cli/model.py:209): small first chunks
+                # for latency, larger later chunks for throughput
+                hop = min(self.token_max_hop_len, int(hop * self.stream_scale_factor))
                 yield {"tts_speech": wav}
             if gen_done and len(pending) < hop + self.token_overlap_len:
                 break

@@ -109,3 +109,44 @@ class TestEvalQuality:
         assert out["n"] == 1
         assert out["cer"] == 0.0  # stub ASR returns the exact text
         assert -1.0 <= out["speaker_similarity"] <= 1.0
+
+
+class TestV1API:
+    def test_v1_zero_shot_offline(self):
+        """CosyVoice (v1) public zero-shot path (borrows CosyVoice2's
+        inference methods incl. _run_segments — regression: AttributeError
+        when _run_segments was not in the borrowed set)."""
+        import jax.numpy as jnp
+
+        from cosyvoice_tpu.models.flow_decoder import EstimatorConfig
+        from cosyvoice_tpu.models.flow_matching import CFMConfig
+        from cosyvoice_tpu.models.flow_v1 import FlowV1Config
+        from cosyvoice_tpu.models.hift import HiFTConfig
+        from cosyvoice_tpu.models.llm_v1 import LMv1Config
+        from cosyvoice_tpu.runtime.api import CosyVoice
+
+        model = CosyVoice(
+            lm_cfg=LMv1Config(
+                text_encoder_input_size=16, llm_input_size=32, llm_output_size=32,
+                text_token_size=160000, speech_token_size=6561,
+                te_heads=2, te_linear_units=32, te_blocks=1,
+                lm_heads=2, lm_linear_units=32, lm_blocks=1, max_cache_len=512, block_size=8,
+            ),
+            flow_cfg=FlowV1Config(
+                input_size=16, vocab_size=6561, attention_heads=2, linear_units=32, num_blocks=1,
+                regulator_ratios=(1,),
+                estimator=EstimatorConfig(channels=(16, 16), attention_head_dim=8, n_blocks=1,
+                                          num_mid_blocks=1, num_heads=2, causal=False),
+                cfm=CFMConfig(n_timesteps=1),
+            ),
+            hift_cfg=HiFTConfig(
+                sampling_rate=22050, base_channels=32, upsample_rates=(8, 8),
+                upsample_kernel_sizes=(16, 16), resblock_kernel_sizes=(3,),
+                resblock_dilations=((1,),), source_resblock_kernel_sizes=(7, 11),
+                source_resblock_dilations=((1,), (1,)),
+            ),
+        )
+        prompt = np.random.RandomState(0).randn(1, 8000).astype(np.float32) * 0.05
+        outs = list(model.inference_zero_shot("hello there world", "a prompt", prompt))
+        assert len(outs) >= 1
+        assert all(o["tts_speech"].shape[1] > 0 for o in outs)

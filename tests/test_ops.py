@@ -127,7 +127,9 @@ class TestSampling:
     def test_ras_resamples_on_repetition(self):
         # token 0 dominates; it repeated >= 1 time in window -> must resample to != 0
         logp = jnp.log(jnp.asarray([0.97, 0.01, 0.01, 0.01]))
-        recent = jnp.full((10,), -1, jnp.int32).at[0].set(0)
+        # the decode ring shifts left / appends right: real tokens sit at the
+        # RIGHT end when fewer than win_size have been decoded
+        recent = jnp.full((10,), -1, jnp.int32).at[-1].set(0)
         tok = ras_sampling(jax.random.PRNGKey(0), logp, recent, jnp.asarray(1), top_p=0.8, top_k=25)
         assert int(tok) != 0
 
