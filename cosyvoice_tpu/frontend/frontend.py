@@ -91,12 +91,9 @@ class CosyVoiceFrontEnd:
         if zero_shot_spk_id and zero_shot_spk_id in self.spk2info:
             out.update(self.spk2info[zero_shot_spk_id])
             return out
+        # one disk read: load at 16 kHz, resample in memory for the 24 kHz mel
         speech_16k = load_wav(prompt_wav, 16000) if isinstance(prompt_wav, str) else prompt_wav
-        speech_24k = (
-            load_wav(prompt_wav, self.sample_rate)
-            if isinstance(prompt_wav, str)
-            else _resample(prompt_wav, 16000, self.sample_rate)
-        )
+        speech_24k = _resample(speech_16k, 16000, self.sample_rate)
         speech_feat = self._extract_speech_feat(speech_24k)
         speech_token = self._extract_speech_token(speech_16k)
         if self.sample_rate == 24000:
@@ -126,12 +123,9 @@ class CosyVoiceFrontEnd:
         return out
 
     def frontend_vc(self, source_speech_16k, prompt_wav):
+        # one disk read: load at 16 kHz, resample in memory for the 24 kHz mel
         speech_16k = load_wav(prompt_wav, 16000) if isinstance(prompt_wav, str) else prompt_wav
-        speech_24k = (
-            load_wav(prompt_wav, self.sample_rate)
-            if isinstance(prompt_wav, str)
-            else _resample(prompt_wav, 16000, self.sample_rate)
-        )
+        speech_24k = _resample(speech_16k, 16000, self.sample_rate)
         src = load_wav(source_speech_16k, 16000) if isinstance(source_speech_16k, str) else source_speech_16k
         return dict(
             source_speech_token=self._extract_speech_token(src),

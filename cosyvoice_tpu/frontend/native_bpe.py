@@ -93,9 +93,15 @@ class NativeBPETokenizer:
             if not span:
                 return
             arr = (ctypes.c_int32 * len(span))(*span)
+            # GPT-2-style vocabs contain single tokens far longer than 8
+            # bytes (e.g. 64-dash runs); grow the buffer until it fits
             cap = 8 * len(span) + 16
-            buf = ctypes.create_string_buffer(cap)
-            n = self._lib.bpe_decode(self._h, arr, len(span), buf, cap)
+            for _ in range(8):
+                buf = ctypes.create_string_buffer(cap)
+                n = self._lib.bpe_decode(self._h, arr, len(span), buf, cap)
+                if n >= 0:
+                    break
+                cap *= 4
             if n < 0:
                 raise ValueError("bpe decode failed")
             out.append(buf.raw[:n].decode("utf-8", errors="replace"))

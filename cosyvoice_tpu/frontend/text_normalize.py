@@ -69,7 +69,9 @@ def number_to_words(num_str: str) -> str:
 def spell_out_number(text: str) -> str:
     out, st = [], None
     for i, c in enumerate(text):
-        if not c.isdigit():
+        # ASCII digits only: str.isdigit() also accepts superscripts and
+        # circled numbers, which int() rejects
+        if c not in "0123456789":
             if st is not None:
                 out.append(number_to_words(text[st:i]))
                 st = None

@@ -122,5 +122,10 @@ def get_tokenizer(token_path: Optional[str] = None, version: int = 2):
         try:
             return QwenTokenizer(token_path, version=version)
         except Exception:
-            pass
+            import logging
+
+            logging.exception(
+                "failed to load Qwen tokenizer from %s — FALLING BACK to byte-level ids, "
+                "which do NOT match a Qwen-trained LM's vocabulary", token_path,
+            )
     return ByteFallbackTokenizer(special)

@@ -134,7 +134,12 @@ class DiTFlowEncoder(nn.Module):
         emb = self.input_embedding(jnp.clip(token, 0)) * mask[..., None]
         if context_token is not None:
             ctx = self.input_embedding(jnp.clip(context_token, 0))
-            emb = jax.lax.dynamic_update_slice(emb, ctx.astype(emb.dtype), (0, token_len[0], 0))
+            # per-row scatter at each row's true boundary (vmapped: a single
+            # dynamic_update_slice at token_len[0] would place every row's
+            # lookahead context at row 0's length)
+            emb = jax.vmap(
+                lambda e, x, start: jax.lax.dynamic_update_slice(e, x, (start, 0))
+            )(emb, ctx.astype(emb.dtype), token_len)
         h = self.pre_lookahead_layer(emb)
         h = jnp.repeat(h, c.token_mel_ratio, axis=1)
         mel_mask = jnp.repeat(mask, c.token_mel_ratio, axis=1)

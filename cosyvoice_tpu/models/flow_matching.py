@@ -97,6 +97,8 @@ def cfm_loss(
     Returns (loss, y)."""
     B = x1.shape[0]
     k_t, k_z, k_cfg = jax.random.split(rng, 3)
+    # training t is PLAIN uniform by design: the reference's cosine
+    # t_scheduler warps only the inference t_span (flow_matching.py:176,225)
     t = jax.random.uniform(k_t, (B, 1, 1), x1.dtype)
     z = jax.random.normal(k_z, x1.shape, x1.dtype)
     y = (1.0 - (1.0 - cfg.sigma_min) * t) * z + t * x1

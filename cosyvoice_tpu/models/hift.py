@@ -103,6 +103,11 @@ class CausalConvRNNF0Predictor(nn.Module):
         return jnp.abs(nn.Dense(1, name="classifier")(x)[..., 0])
 
 
+# fixed causal-noise buffer length: 80 s at 24 kHz covers the longest single
+# segment (<=80 text tokens * 20 max ratio = 64 s); positions wrap beyond
+_FIXED_NOISE_SAMPLES = 80 * 24000
+
+
 def sine_source_v1(
     rng: jax.Array,
     f0_up: jax.Array,
@@ -115,7 +120,13 @@ def sine_source_v1(
     B, L = f0_up.shape
     k_phase, k_noise = jax.random.split(rng)
     fn = f0_up[..., None] * jnp.arange(1, H + 1, dtype=f0_up.dtype) / cfg.sampling_rate  # [B, L, H]
-    theta = 2.0 * np.pi * (jnp.cumsum(fn, axis=1) % 1.0)
+    # phase accumulation mod 1 INSIDE the scan: a raw float32 cumsum reaches
+    # ~5e4 cycles after 30 s where its ULP rivals the per-sample increment,
+    # detuning high harmonics (the reference bounds the sum via its
+    # cumsum_shift trick); addition mod 1 is associative so the scan stays
+    # exact at any length
+    cum_mod = jax.lax.associative_scan(lambda a, b: jnp.mod(a + b, 1.0), jnp.mod(fn, 1.0), axis=1)
+    theta = 2.0 * np.pi * cum_mod
     phase = jax.random.uniform(k_phase, (B, 1, H), minval=-np.pi, maxval=np.pi).at[:, :, 0].set(0.0)
     sines = cfg.nsf_alpha * jnp.sin(theta + phase)
     uv = (f0_up > cfg.nsf_voiced_threshold).astype(f0_up.dtype)[..., None]
@@ -155,9 +166,15 @@ def sine_source(
     uv = (f0_up > cfg.nsf_voiced_threshold).astype(f0_up.dtype)[..., None]
     noise_amp = uv * cfg.nsf_sigma + (1.0 - uv) * cfg.nsf_alpha / 3.0
     if cfg.causal:
-        # causal SineGen2 draws from a fixed uniform buffer (generator.py:226,
-        # 309-312) so chunked == full; a fixed key + uniform mirrors that.
-        noise = noise_amp * jax.random.uniform(k_noise, sines.shape, sines.dtype)
+        # causal SineGen2 draws from a fixed POSITION-INDEXED uniform buffer
+        # (generator.py:226,309-312) so the cumulative re-vocode emits a
+        # bit-identical prefix as L grows. jax.random over an [L, H] shape is
+        # NOT prefix-stable (threefry pairs counter halves of the whole
+        # array), so draw a fixed-size buffer and slice by position.
+        max_l = _FIXED_NOISE_SAMPLES
+        buf = jax.random.uniform(jax.random.PRNGKey(7), (max_l, H), sines.dtype)
+        idx = jnp.arange(L) % max_l  # wrap past the buffer (reference: 300 s)
+        noise = noise_amp * buf[idx][None]
     else:
         noise = noise_amp * jax.random.normal(k_noise, sines.shape, sines.dtype)
     sine_waves = cfg.nsf_alpha * sines * uv + noise

@@ -64,3 +64,24 @@ class TestHiFT:
         a = jax.random.uniform(K(7), (1, 100, 9))
         b = jax.random.uniform(K(7), (1, 60, 9))
         np.testing.assert_array_equal(np.asarray(a[:, :60]), np.asarray(b))
+
+
+class TestCausalPrefixStability:
+    def test_cumulative_revocode_prefix_is_stable(self):
+        """v3 cumulative re-vocoding (engine.py token2wav) slices freshly
+        emitted samples from a longer re-synthesis; the prefix must be
+        bit-stable as the mel grows or chunk boundaries click (the reference
+        uses fixed position-indexed noise buffers, generator.py:226,309)."""
+        m = HiFTGenerator(tiny_cfg(causal=True))
+        rng = np.random.default_rng(0)
+        mel_full = jnp.asarray(rng.standard_normal((1, 32, 80)).astype(np.float32))
+        params = m.init(K(0), mel_full, K(1))
+        wav_short, _ = m.apply(params, mel_full[:, :16], K(5), finalize=True, method="inference")
+        wav_full, _ = m.apply(params, mel_full, K(5), finalize=True, method="inference")
+        n = wav_short.shape[1] - 4 * 480  # trim the conv_pre lookahead tail
+        # tolerance: different-length programs reassociate conv/reduce ops
+        # (~1e-5 float drift); the prefix-instability bug this guards against
+        # produced O(1) differences from length-dependent noise draws
+        np.testing.assert_allclose(
+            np.asarray(wav_full[:, :n]), np.asarray(wav_short[:, :n]), atol=1e-3,
+        )
