@@ -144,6 +144,16 @@ def main():
     lm_dev_int8_s = lm_block_time(q_lm, q_params, n_tokens)
     print(f"# lm_dev_int8 {lm_dev_int8_s:.4f}", flush=True)
 
+    # int4p: fused Pallas decode kernels (ops/int4_fused.py) — half the int8
+    # weight bytes at near-int8 decode speed
+    q4_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant="int4p")))
+    with init_on_cpu():
+        q4_params = q4_lm.init(K(0))
+    q4_params = to_default_device(q4_params)
+    lm_dev_int4p_s = lm_block_time(q4_lm, q4_params, n_tokens)
+    print(f"# lm_dev_int4p {lm_dev_int4p_s:.4f}", flush=True)
+    del q4_params
+
     # ---- token2wav: fused offline program (flow + mel slice + vocoder) ----
     tokens = rng.integers(0, 6561, n_tokens).astype(np.int32)
     L = 50 + n_tokens
@@ -285,6 +295,8 @@ def main():
                 "vs_baseline_int8": round(baseline / rtf_int8, 4),
                 "lm_device_s": round(lm_dev_s, 4),
                 "lm_device_s_int8": round(lm_dev_int8_s, 4),
+                "lm_device_s_int4p": round(lm_dev_int4p_s, 4),
+                "rtf_int4p_lm": round((lm_dev_int4p_s + t2w_dev_s) / audio_seconds, 4),
                 "t2w_device_s": round(t2w_dev_s, 4),
                 "first_chunk_ms_device": round(first_chunk_dev_ms, 1),
                 "first_chunk_ms_device_int8": round(first_chunk_int8_ms, 1),

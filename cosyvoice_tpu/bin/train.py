@@ -388,6 +388,15 @@ def main():
     if args.checkpoint:
         params = executor.resume(params, args.checkpoint)
     opt_state = optimizer.init(params)
+    if executor.step > 0:
+        # resume the LR schedule at the restored global step (the reference's
+        # scheduler.set_step, scheduler.py:70-72); Adam moments stay fresh
+        # like the reference's DDP resume, which saves the model only
+        opt_state = tuple(
+            optax.ScaleByScheduleState(count=jax.numpy.asarray(executor.step, jax.numpy.int32))
+            if isinstance(s, optax.ScaleByScheduleState) else s
+            for s in opt_state
+        )
 
     # snapshot init before training (reference bin/train.py:156-159)
     if rank == 0:

@@ -177,12 +177,17 @@ def batch(data, batch_type="dynamic", batch_size=16, max_frames_in_batch=2000):
                 yield buf
                 buf = []
         else:
+            # budget the PADDED batch size (longest * count), the quantity
+            # that actually bounds device memory / compiled shapes
+            # (reference processor.py:340-366); data arrives length-sorted
+            # so the longest is the max of buf + candidate
             n = sample["speech_feat"].shape[0]
-            if buf and frames + n > max_frames_in_batch:
+            longest = max(frames, n)  # frames tracks the longest so far
+            if buf and longest * (len(buf) + 1) > max_frames_in_batch:
                 yield buf
                 buf, frames = [], 0
             buf.append(sample)
-            frames += n
+            frames = max(frames, n)
     if buf:
         yield buf
 

@@ -45,8 +45,12 @@ class RMSNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, weight_only: bool = False):
         w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        if weight_only:
+            # fused-kernel path (int4p): the caller hands the weight to a
+            # Pallas kernel that applies the norm on-chip
+            return w
         x32 = x.astype(jnp.float32)
         x32 = x32 * jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + self.eps)
         return (x32 * w).astype(x.dtype)
@@ -99,21 +103,89 @@ class QuantDense4(nn.Module):
         return y
 
 
+def _int4p_use_pallas(rows: int, n_in: int) -> bool:
+    import os
+
+    return (
+        rows <= 16
+        and n_in % 128 == 0
+        and jax.default_backend() == "tpu"
+        and os.environ.get("COSY_INT4_PALLAS", "1") != "0"
+    )
+
+
+class QuantDense4P(nn.Module):
+    """int4 Dense in the BLOCKED half-split layout served by the fused Pallas
+    decode kernels (ops/int4_fused.py): kernel [NB, half, out] + scale
+    [NB, out]. Decode-shaped calls (<=16 rows on TPU) hit the int4_gemv
+    Pallas kernel; prefill/CPU fall back to the XLA blocked matmul."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from cosyvoice_tpu.ops.int4_fused import (
+            GEMV_IN_ALIGN,
+            _pad_to,
+            int4_gemv,
+            int4_matmul_blocked,
+        )
+
+        in_f = x.shape[-1]
+        nb = _pad_to(in_f, GEMV_IN_ALIGN) // GEMV_IN_ALIGN
+        kq = self.param(
+            "kernel_q4b", nn.initializers.zeros, (nb, GEMV_IN_ALIGN // 2, self.features), jnp.int8
+        )
+        scale = self.param("scale4", nn.initializers.ones, (nb, self.features), jnp.float32)
+        lead = x.shape[:-1]
+        rows = int(np.prod(lead))
+        if _int4p_use_pallas(rows, in_f):
+            y = int4_gemv(x.reshape(rows, in_f), kq, scale, out_dtype=self.dtype).reshape(
+                *lead, self.features
+            )
+        else:
+            y = int4_matmul_blocked(x, kq, scale, self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b.astype(self.dtype)
+        return y
+
+
 def dense_cls(cfg: Qwen2Config):
     """Dense flavor for the decode-path matmuls given cfg.quant."""
     if cfg.quant == "int4":
         return QuantDense4
+    if cfg.quant == "int4p":
+        return QuantDense4P
     return QuantDense if cfg.quant else nn.Dense
+
+
+class _Int4PWeights(nn.Module):
+    """Param holder for the fused-MLP int4p layouts (returns raw arrays so
+    the parent can hand them to one fused Pallas kernel)."""
+
+    wshape: tuple
+    sshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kq = self.param("kernel_q4b", nn.initializers.zeros, self.wshape, jnp.int8)
+        scale = self.param("scale4", nn.initializers.ones, self.sshape, jnp.float32)
+        return kq, scale
 
 
 class Qwen2Attention(nn.Module):
     cfg: Qwen2Config
 
     @nn.compact
-    def __call__(self, x, cos, sin, mask_bias, kv_write_pos=None, cache=None):
+    def __call__(self, x, cos, sin, mask_bias, kv_write_pos=None, cache=None, raw_out: bool = False):
         """x: [B, S, C]; cos/sin: [S, d/2] rope slices for these positions;
         mask_bias: [B, 1, S, T] additive; cache: optional (k, v) each
         [B, max_len, Hkv, d] with kv_write_pos scalar -> returns updated.
+        raw_out (int4p only): return the PRE-o_proj attention output plus
+        the o_proj weights for the fused layer-tail kernel.
         """
         c = self.cfg
         B, S, _ = x.shape
@@ -178,6 +250,29 @@ class Qwen2Attention(nn.Module):
         scores = scores + mask_bias[:, None]  # bias [B,1,S,T] -> [B,1,1,S,T]
         attn = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
         out = jnp.einsum("bgrst,btgd->bsgrd", attn, v_all).reshape(B, S, c.num_heads * c.head_dim)
+        if c.quant == "int4p":
+            from cosyvoice_tpu.ops.int4_fused import (
+                GEMV_IN_ALIGN,
+                _pad_to,
+                int4_gemv,
+                int4_matmul_blocked,
+            )
+
+            nb_o = _pad_to(nq, GEMV_IN_ALIGN) // GEMV_IN_ALIGN
+            o_p, o_s = _Int4PWeights(
+                (nb_o, GEMV_IN_ALIGN // 2, c.hidden_size), (nb_o, c.hidden_size), name="o_proj"
+            )()
+            if raw_out:
+                # fused-tail path: the layer hands (pre-o attention, o
+                # weights) to ONE Pallas kernel with the norm + MLP
+                return (out, o_p, o_s), new_cache
+            if _int4p_use_pallas(B * S, nq):
+                out = int4_gemv(out.reshape(B * S, nq), o_p, o_s, out_dtype=c.dtype).reshape(
+                    B, S, c.hidden_size
+                )
+            else:
+                out = int4_matmul_blocked(out, o_p, o_s, c.dtype)
+            return out, new_cache
         out = D(c.hidden_size, use_bias=False, dtype=c.dtype, name="o_proj")(out)
         return out, new_cache
 
@@ -186,8 +281,48 @@ class Qwen2MLP(nn.Module):
     cfg: Qwen2Config
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fused_tail=None):
         c = self.cfg
+        if c.quant == "int4p":
+            from cosyvoice_tpu.ops.int4_fused import (
+                GEMV_IN_ALIGN,
+                _pad_to,
+                MLP_INTER_ALIGN,
+                int4_mlp,
+                int4_mlp_reference,
+            )
+
+            nb_in = _pad_to(c.hidden_size, GEMV_IN_ALIGN) // GEMV_IN_ALIGN
+            half_in = GEMV_IN_ALIGN // 2
+            inter_p = _pad_to(c.intermediate_size, MLP_INTER_ALIGN)
+            gup, gus = _Int4PWeights(
+                (2, nb_in, half_in, inter_p), (2, nb_in, inter_p), name="gate_up_proj"
+            )()
+            dp, ds = _Int4PWeights(
+                (inter_p // MLP_INTER_ALIGN, MLP_INTER_ALIGN // 2, c.hidden_size),
+                (inter_p // MLP_INTER_ALIGN, c.hidden_size),
+                name="down_proj",
+            )()
+            if fused_tail is not None:
+                # ONE Pallas call for the whole post-attention tail:
+                # x is the PRE-o_proj attention output here
+                from cosyvoice_tpu.ops.int4_fused import int4_o_mlp
+
+                x_res, norm_w, o_p, o_s = fused_tail
+                B, S, n_attn = x.shape
+                y = int4_o_mlp(
+                    x.reshape(B * S, n_attn), x_res.reshape(B * S, c.hidden_size),
+                    norm_w, o_p, o_s, gup, gus, dp, ds,
+                    eps=c.rms_norm_eps, out_dtype=c.dtype,
+                )
+                return y.reshape(B, S, c.hidden_size)
+            lead = x.shape[:-1]
+            rows = int(np.prod(lead))
+            if _int4p_use_pallas(rows, c.hidden_size):
+                y = int4_mlp(x.reshape(rows, c.hidden_size), gup, gus, dp, ds, out_dtype=c.dtype)
+            else:
+                y = int4_mlp_reference(x.reshape(rows, c.hidden_size), gup, gus, dp, ds, c.dtype)
+            return y.reshape(*lead, c.hidden_size)
         D = dense_cls(c)
         # fused gate|up (converter note: concat HF gate_proj|up_proj)
         gu = D(2 * c.intermediate_size, use_bias=False, dtype=c.dtype, name="gate_up_proj")(x)
@@ -200,11 +335,29 @@ class Qwen2Layer(nn.Module):
 
     @nn.compact
     def __call__(self, x, cos, sin, mask_bias, kv_write_pos=None, cache=None):
-        h = RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x)
-        attn_out, new_cache = Qwen2Attention(self.cfg, name="self_attn")(h, cos, sin, mask_bias, kv_write_pos, cache)
+        c = self.cfg
+        fused_tail = (
+            c.quant == "int4p"
+            and x.shape[1] == 1
+            and c.hidden_size % 128 == 0
+            and _int4p_use_pallas(x.shape[0], c.hidden_size)
+        )
+        h = RMSNorm(c.rms_norm_eps, name="input_layernorm")(x)
+        attn = Qwen2Attention(c, name="self_attn")
+        if fused_tail:
+            # decode fast path: attention returns its PRE-o output + o
+            # weights; o_proj + residual + norm2 + MLP + residual run in one
+            # Pallas kernel (no XLA glue ops between — measured dominant)
+            (attn_raw, o_p, o_s), new_cache = attn(
+                h, cos, sin, mask_bias, kv_write_pos, cache, raw_out=True
+            )
+            nw2 = RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x, weight_only=True)
+            x = Qwen2MLP(c, name="mlp")(attn_raw, fused_tail=(x, nw2, o_p, o_s))
+            return x, new_cache
+        attn_out, new_cache = attn(h, cos, sin, mask_bias, kv_write_pos, cache)
         x = x + attn_out
-        h = RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x)
-        x = x + Qwen2MLP(self.cfg, name="mlp")(h)
+        h = RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
+        x = x + Qwen2MLP(c, name="mlp")(h)
         return x, new_cache
 
 

@@ -42,6 +42,14 @@ class EspnetRelPositionalEncoding:
 
     def position_encoding(self, offset: int, size: int) -> jax.Array:
         center = self.pe.shape[1] // 2
+        # size/offset are static at trace time: fail loudly instead of letting
+        # dynamic_slice clamp a negative start and silently mis-center the
+        # relative positions (the espnet reference grows its table on demand)
+        if isinstance(size, int) and isinstance(offset, int) and size + offset > center + 1:
+            raise ValueError(
+                f"relative-PE table too small: need size+offset={size + offset} <= {center + 1}; "
+                "raise the encoding's max_len"
+            )
         start = center - size - offset + 1
         return jax.lax.dynamic_slice_in_dim(self.pe, start, 2 * (size + offset) - 1, axis=1)
 

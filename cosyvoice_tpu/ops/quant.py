@@ -156,14 +156,49 @@ def quantize_dense_tree_int4(params, path_pred):
 QUANT_LM_LAYERS = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj", "llm_decoder")
 
 
+def quantize_dense_tree_int4p(params, path_pred):
+    """Blocked half-split int4 layouts for the fused Pallas decode kernels
+    (ops/int4_fused.py): qkv/o -> {kernel_q4b [NB, half, out], scale4
+    [NB, out]}; gate_up -> gate|up planes padded to the aligned intermediate;
+    down -> 512-row scale blocks over the padded intermediate."""
+    from cosyvoice_tpu.ops.int4_fused import (
+        pack_down_int4,
+        pack_gate_up_int4,
+        pack_gemv_int4,
+    )
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2 and path_pred(path):
+                w = np.asarray(node["kernel"])
+                if path[-1] == "gate_up_proj":
+                    wq, scale = pack_gate_up_int4(w)
+                elif path[-1] == "down_proj":
+                    wq, scale = pack_down_int4(w)
+                else:
+                    wq, scale = pack_gemv_int4(w)
+                out = {"kernel_q4b": wq, "scale4": scale}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    return walk(params, ())
+
+
 def quantize_lm_params(params, mode: str = "int8"):
     """fp Qwen2LM param tree -> the tree expected by the quantized module
-    (models/qwen2.py QuantDense for int8, QuantDense4 for int4). In int4
-    mode the llm_decoder head stays int8 (the head is ~1% of decode bytes
-    and the most quantization-sensitive layer)."""
+    (models/qwen2.py QuantDense for int8, QuantDense4 for int4, QuantDense4P
+    + the fused-MLP layouts for int4p). In the int4 modes the llm_decoder
+    head stays int8 (the head is ~1% of decode bytes and the most
+    quantization-sensitive layer)."""
     pred = lambda path: bool(path) and path[-1] in QUANT_LM_LAYERS  # noqa: E731
-    if mode == "int4":
+    if mode in ("int4", "int4p"):
         body = lambda path: pred(path) and path[-1] != "llm_decoder"  # noqa: E731
-        params = quantize_dense_tree_int4(params, body)
+        if mode == "int4":
+            params = quantize_dense_tree_int4(params, body)
+        else:
+            params = quantize_dense_tree_int4p(params, body)
         return quantize_dense_tree(params, lambda path: bool(path) and path[-1] == "llm_decoder")
     return quantize_dense_tree(params, pred)

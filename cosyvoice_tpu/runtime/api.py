@@ -61,7 +61,9 @@ class CosyVoice2:
         lm_cfg: Optional[LMConfig] = None,
         flow_cfg: Optional[FlowConfig] = None,
         hift_cfg: Optional[HiFTConfig] = None,
-        quant_lm=False,  # weight-only LM: True/"int8" (2x faster decode) or "int4" (half the int8 memory)
+        quant_lm=False,  # weight-only LM: True/"int8" (2x faster decode), "int4"
+        # (half the int8 memory, XLA path) or "int4p" (int4 via the fused
+        # Pallas decode kernels, ops/int4_fused.py)
     ):
         self.model_dir = model_dir
         # model dirs may carry a declarative config.json (the reference's
@@ -98,7 +100,7 @@ class CosyVoice2:
 
                 from cosyvoice_tpu.ops.quant import quantize_lm_params
 
-                mode = "int4" if quant_lm == "int4" else "int8"
+                mode = quant_lm if quant_lm in ("int4", "int4p") else "int8"
                 template = quantize_lm_params(template, mode)
                 self.lm = Qwen2LM(dataclasses.replace(
                     lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, quant=mode)))

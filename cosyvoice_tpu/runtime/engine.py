@@ -96,20 +96,26 @@ class CosyVoice2Engine:
         )
         # fused offline token->wav: flow + mel slice + vocoder in ONE device
         # program — the mel never leaves the chip (one upload, one wav
-        # download; critical when the host<->device link has latency)
-        self._jit_t2w_fused = jax.jit(self._t2w_fused_impl, static_argnames=("prompt_mel_len",))
+        # download; critical when the host<->device link has latency).
+        # prompt_mel_len is TRACED (the prompt is removed with a roll + mask,
+        # not a static slice), so every prompt length in a serving mix shares
+        # one compiled program per token bucket.
+        self._jit_t2w_fused = jax.jit(self._t2w_fused_impl)
         # fused STREAMING chunk: flow prefix recompute + chunk slice + HiFT
         # cache splice + vocoder + cross-fade in ONE device program, with the
         # mel/source/speech caches living on device between chunks — one
         # host<->device round trip per streaming chunk instead of four.
         self.fused_stream = True
         self._jit_t2w_stream = jax.jit(
-            self._t2w_stream_impl, static_argnames=("prompt_mel_len", "chunk_mel", "first")
+            self._t2w_stream_impl, static_argnames=("chunk_mel", "first")
         )
 
-    def _t2w_fused_impl(self, flow_params, hift_params, tok, token_len, conds, emb, rng, prompt_mel_len: int):
+    def _t2w_fused_impl(self, flow_params, hift_params, tok, token_len, conds, emb, rng, prompt_mel_len):
         mel = self.flow.inference(flow_params, tok, token_len, conds, emb, streaming=False)
-        mel = mel[:, prompt_mel_len:]
+        # drop the prompt mel with a traced-shift roll (shape stays static, so
+        # one program serves every prompt length); the wrapped tail lands in
+        # the masked region below
+        mel = jnp.roll(mel, -prompt_mel_len, axis=1)
         # silence out the padded tail so the vocoder tail stays clean
         valid = jnp.arange(mel.shape[1])[None, :, None] < (token_len[0] * self.token_mel_ratio - prompt_mel_len)
         mel = jnp.where(valid, mel, LOG_SILENCE)
@@ -130,7 +136,7 @@ class CosyVoice2Engine:
         source_cache,   # [1, source_cache_len]
         speech_cache,   # [1, source_cache_len]
         token_offset,   # [] traced
-        prompt_mel_len: int,
+        prompt_mel_len,  # [] traced: no recompile per prompt length
         chunk_mel: int,
         first: bool,
     ):
@@ -185,7 +191,7 @@ class CosyVoice2Engine:
             state.hift_source_cache if not first else zeros_src,
             state.hift_speech_cache if not first else zeros_src,
             jnp.asarray(token_offset),
-            prompt_mel_len=prompt_feat.shape[1],
+            jnp.asarray(prompt_feat.shape[1]),
             chunk_mel=this_hop * self.token_mel_ratio,
             first=first,
         )
@@ -214,7 +220,7 @@ class CosyVoice2Engine:
         wav = self._jit_t2w_fused(
             self.flow_params, self.hift_params, jnp.asarray(tok), jnp.asarray([L]),
             jnp.asarray(conds), jnp.asarray(embedding), jax.random.PRNGKey(self.seed),
-            prompt_mel_len=prompt_feat.shape[1],
+            jnp.asarray(prompt_feat.shape[1]),
         )
         n_valid = (L - len(prompt_token)) * self.token_mel_ratio * self.wav_hop
         out = np.asarray(wav)[:, :n_valid]
@@ -534,8 +540,24 @@ class CosyVoice3Engine(CosyVoice2Engine):
         if mel.shape[1] == 0:
             return np.zeros((1, 0), np.float32)
         rng = jax.random.PRNGKey(self.seed)
-        wav, _ = self._jit_hift_causal(self.hift_params, jnp.asarray(mel), rng, finalize)
-        wav = np.asarray(wav)[:, state.speech_offset :]
+        if not finalize:
+            # bucket the cumulative mel so the re-vocode compiles one program
+            # per mel_bucket instead of one per exact chunk-boundary length.
+            # Tail-padding with log-silence is exact here: the causal
+            # vocoder's emitted (non-lookahead) samples are prefix-stable
+            # under suffix extension (the invariant the cumulative-slicing
+            # scheme itself depends on, golden-tested in test_hift), and the
+            # valid output length shifts linearly with the pad.
+            T = mel.shape[1]
+            Tb = _bucket(T, self.mel_bucket)
+            mel_p = np.full((1, Tb, 80), LOG_SILENCE, np.float32)
+            mel_p[:, :T] = mel
+            wav, _ = self._jit_hift_causal(self.hift_params, jnp.asarray(mel_p), rng, False)
+            wav = np.asarray(wav)[:, : max(0, wav.shape[1] - (Tb - T) * self.wav_hop)]
+        else:
+            wav, _ = self._jit_hift_causal(self.hift_params, jnp.asarray(mel), rng, True)
+            wav = np.asarray(wav)
+        wav = wav[:, state.speech_offset :]
         state.speech_offset += wav.shape[1]
         return wav
 

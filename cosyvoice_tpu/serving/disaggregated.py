@@ -206,7 +206,10 @@ class RemoteEngine:
         self.token_mel_ratio = token_mel_ratio
         self.seed = seed
         self.scheduler = None
-        self._streams = {}  # id(state) -> (_T2WStream, context sent?)
+        self._streams = {}  # id(state) -> _T2WStream
+        import threading as _threading
+
+        self._tl = _threading.local()  # per-consumer-thread open-stream keys
         self._gen_tokens = llm_channel.unary_stream(
             "/cosyvoice_tpu.CosyVoiceLLM/GenerateTokens",
             request_serializer=pb.LLMRequest.SerializeToString,
@@ -250,7 +253,7 @@ class RemoteEngine:
         c = self.lm.cfg
         text_tokens = kwargs.get("text_tokens") if "text_tokens" in kwargs else args[0]
         if kwargs.get("token_generator") is None and kwargs.get("source_speech_token") is None:
-            seed = kwargs.get("rng_seed") or self.seed
+            seed = self.seed if kwargs.get("rng_seed") is None else kwargs["rng_seed"]
             if hasattr(text_tokens, "__next__"):
                 kwargs["token_generator"] = self._squelch(
                     self._remote_tokens_bistream(
@@ -273,24 +276,30 @@ class RemoteEngine:
                     self._remote_tokens(ids, types, len(text_tokens) * 2, len(text_tokens) * 20, seed)
                 )
         gen = RemoteEngine._E.tts(self, *args, **kwargs)
+        # track the streams THIS call opens (generator bodies run in the
+        # consumer's thread, so a thread-local key list is per-session even
+        # with concurrent gateway sessions; a single shared last-key slot
+        # would let session A close session B's stream)
+        prev = getattr(self._tl, "keys", None)
+        self._tl.keys = []
         try:
             yield from gen
         finally:
-            self._close_stream_for_last_state()
+            for key in self._tl.keys:
+                s = self._streams.pop(key, None)
+                if s is not None:
+                    s.close()
+            self._tl.keys = prev
 
     # ---- token2wav via RPC ----
     def _stream_for(self, state) -> "_T2WStream":
         key = id(state)
         if key not in self._streams:
             self._streams[key] = _T2WStream(self.t2w_channel)
-        self._last_state_key = key
+            keys = getattr(self._tl, "keys", None)
+            if keys is not None:
+                keys.append(key)
         return self._streams[key]
-
-    def _close_stream_for_last_state(self):
-        key = getattr(self, "_last_state_key", None)
-        if key is not None and key in self._streams:
-            self._streams.pop(key).close()
-            self._last_state_key = None
 
     def _ctx_fields(self, prompt_token, prompt_feat, embedding, first: bool) -> dict:
         if not first:

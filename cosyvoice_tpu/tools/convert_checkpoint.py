@@ -66,7 +66,6 @@ class TreeFiller:
     def __init__(self, template: dict):
         import jax
 
-        self.flat = dict(jax.tree_util.tree_flatten_with_path(template)[0].__iter__()) if False else None
         leaves = jax.tree_util.tree_leaves_with_path(template)
         self.shapes = {self._p(path): leaf.shape for path, leaf in leaves}
         self.values = {}
@@ -343,9 +342,15 @@ def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict) -> dict
     # normalize: strip common prefixes the exporters add
     sd = {}
     for k, v in weights.items():
-        for pre in ("encoder.", "model.", "s3tokenizer."):
-            if k.startswith(pre):
-                k = k[len(pre):]
+        # strip stacked prefixes until none match ("model.encoder.conv1" needs
+        # two passes — a single sweep misses "encoder." once "model." strips)
+        stripped = True
+        while stripped:
+            stripped = False
+            for pre in ("encoder.", "model.", "s3tokenizer."):
+                if k.startswith(pre):
+                    k = k[len(pre):]
+                    stripped = True
         sd[k] = np.asarray(v, np.float32)
 
     filler = TreeFiller(template)
@@ -383,10 +388,18 @@ def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict) -> dict
         for c in cands:
             if c in sd and sd[c].shape == shape:
                 return sd[c]
-        for k, v in sd.items():  # fall back to unique shape match
-            if v.shape == shape and not k.startswith(("conv1", "conv2", "blocks", "ln_post")):
-                return v
-        raise KeyError(f"no tensor of shape {shape} among candidates {cands}")
+        # fallback: a shape match is only trusted when it is UNIQUE —
+        # returning the first of several would silently load wrong weights
+        matches = [
+            k for k, v in sd.items()
+            if v.shape == shape and not k.startswith(("conv1", "conv2", "blocks", "ln_post"))
+        ]
+        if len(matches) == 1:
+            return sd[matches[0]]
+        raise KeyError(
+            f"no tensor of shape {shape} among candidates {cands}"
+            + (f"; ambiguous shape matches: {matches}" if matches else "")
+        )
 
     shapes = filler.shapes
     if f"{P}/conv_ds/kernel" in shapes:

@@ -155,6 +155,11 @@ def build_grpo_batch(cfg: LMConfig, prompt_ids: np.ndarray, prompt_types: np.nda
             targets[k, P - 1] = r[0]
             targets[k, P : n - 1] = r[1:]
             targets[k, n - 1] = cfg.eos_token
+        else:
+            # immediate-eos rollout: the one action taken (eos at the prompt's
+            # last position) must still carry its advantage, or degenerate
+            # early stops can never be trained away
+            targets[k, P - 1] = cfg.eos_token
         lengths[k] = n
     return {"ids": ids, "types": types, "targets": targets, "lengths": lengths}
 

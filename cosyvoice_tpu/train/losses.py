@@ -62,13 +62,17 @@ def discriminator_adv_loss(disc_real_outs: Sequence, disc_fake_outs: Sequence) -
 
 
 def tpr_loss(disc_real_outs: Sequence, disc_fake_outs: Sequence, tau: float = 0.04) -> jax.Array:
-    """Truncated pointwise relativistic loss (utils/losses.py:6-15)."""
+    """Truncated pointwise relativistic loss (utils/losses.py:6-15):
+    m = median(dr - dg); L_rel = mean(((dr-dg)-m)^2 over elements with
+    dr < dg + m); per-discriminator contribution = min(tau, L_rel)
+    (written as tau - relu(tau - L_rel))."""
     loss = 0.0
-    for dr, df in zip(disc_real_outs, disc_fake_outs):
-        m_dg = jnp.median(jnp.reshape(df, (df.shape[0], -1)), axis=-1, keepdims=True)
-        dr_f = jnp.reshape(dr, (dr.shape[0], -1))
-        l_rel = jnp.clip((dr_f - m_dg) - tau, max=0.0)
-        loss = loss + jnp.mean(jnp.square(l_rel))
+    for dr, dg in zip(disc_real_outs, disc_fake_outs):
+        diff = jnp.reshape(dr - dg, (-1,))
+        m = jnp.median(diff)
+        sel = (diff < m).astype(diff.dtype)
+        l_rel = jnp.sum(jnp.square(diff - m) * sel) / jnp.maximum(jnp.sum(sel), 1.0)
+        loss = loss + tau - jax.nn.relu(tau - l_rel)
     return loss
 
 

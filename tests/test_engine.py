@@ -129,6 +129,46 @@ class TestEngine:
         assert fused[-1].shape == host[-1].shape
         assert np.isfinite(np.asarray(fused[-1])).all()
 
+    def test_prompt_length_shares_one_program(self, engine):
+        """prompt_mel_len is traced (roll+mask, not a static slice): a serving
+        mix of different prompt lengths must NOT compile one token2wav
+        program per length (the recompile issue called out in README)."""
+        rng = np.random.default_rng(4)
+        base = prompt_inputs(rng)
+        src = rng.integers(0, 20, 12).astype(np.int32)  # fixed gen length via vc mode
+        outs = []
+        sizes = []
+        for lp in (2, 3, 4):  # three distinct prompt token/mel lengths, one Lpad bucket
+            inputs = dict(base)
+            inputs["flow_prompt_speech_token"] = rng.integers(0, 20, lp).astype(np.int32)
+            inputs["prompt_speech_feat"] = rng.random((1, 2 * lp, 80)).astype(np.float32)
+            outs.append(list(engine.tts(**inputs, stream=False, source_speech_token=src))[0]["tts_speech"])
+            sizes.append(engine._jit_t2w_fused._cache_size())
+        assert sizes[0] == sizes[1] == sizes[2], f"t2w recompiled per prompt length: {sizes}"
+        for wav in outs:
+            assert wav.shape[1] == 12 * 2 * 480  # only the source tokens, prompt removed
+            assert np.isfinite(wav).all()
+
+    def test_stream_prompt_length_shares_one_program(self, engine):
+        rng = np.random.default_rng(5)
+        base = prompt_inputs(rng)
+        src = rng.integers(0, 20, 18).astype(np.int32)
+        sizes = []
+        for lp in (2, 4):
+            inputs = dict(base)
+            inputs["flow_prompt_speech_token"] = rng.integers(0, 20, lp).astype(np.int32)
+            inputs["prompt_speech_feat"] = rng.random((1, 2 * lp, 80)).astype(np.float32)
+            chunks = [
+                o["tts_speech"]
+                for o in engine.tts(**inputs, stream=True, source_speech_token=src)
+            ]
+            assert all(np.isfinite(c).all() for c in chunks)
+            sizes.append(engine._jit_t2w_stream._cache_size())
+        # lp=2 pads to hop 5 with pad 3 (chunk_mel 16), lp=4 pads with pad 1
+        # (chunk_mel 12): chunk_mel IS static, so allow those two variants but
+        # no growth from the prompt length itself
+        assert sizes[1] - sizes[0] <= 1, f"stream t2w recompiled per prompt length: {sizes}"
+
     def test_vc_mode(self, engine):
         rng = np.random.default_rng(1)
         inputs = prompt_inputs(rng)

@@ -79,6 +79,28 @@ class TestEngineV3:
         stream = np.concatenate(chunks, axis=1)
         assert stream.shape == off.shape
 
+    def test_bucketed_cumulative_vocode_is_exact(self, engine3):
+        """Non-finalize chunks pad the cumulative mel to mel_bucket and slice
+        the wav back: the emitted samples must be IDENTICAL to the
+        exact-length re-vocode (prefix stability of the causal vocoder)."""
+        from cosyvoice_tpu.runtime.engine import CosyVoice3Engine
+
+        rng = np.random.default_rng(2)
+        inputs = v3_inputs(rng)
+        src = rng.integers(0, 20, 18).astype(np.int32)
+        exact_eng = CosyVoice3Engine(
+            engine3.lm, engine3.flow, engine3.hift,
+            engine3.lm_params, engine3.flow_params, engine3.hift_params,
+            token_hop_len=CHUNK, token_bucket=16, mel_bucket=1,
+        )
+        bucketed = [o["tts_speech"] for o in engine3.tts(**inputs, stream=True, source_speech_token=src)]
+        exact = [o["tts_speech"] for o in exact_eng.tts(**inputs, stream=True, source_speech_token=src)]
+        assert len(bucketed) == len(exact)
+        for i, (b, e) in enumerate(zip(bucketed, exact)):
+            assert b.shape == e.shape, f"chunk {i}: {b.shape} vs {e.shape}"
+            scale = max(np.abs(e).max(), 1e-6)
+            assert np.abs(b - e).max() / scale < 1e-5, f"chunk {i}"
+
     def test_squelch_drops_long_silent_runs(self, engine3):
         gen = iter([np.asarray([1] * 10 + [5], np.int32)])
         out = np.concatenate(list(engine3._squelch(gen)))

@@ -160,3 +160,58 @@ class TestInt4LM:
         toks = np.concatenate(blocks)
         assert 6 <= len(toks) <= 30
         assert (toks < c.speech_token_size).all()
+
+
+class TestInt4PLM:
+    """int4p: blocked half-split layouts for the fused Pallas decode kernels
+    (ops/int4_fused.py). On CPU the XLA blocked fallback runs — this tests
+    the layouts/wiring; the Pallas kernels themselves are covered in
+    test_int4_fused.py (interpret) and on the TPU bench."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        fp = Qwen2LM(LMConfig(speech_token_size=20, block_size=8, qwen=Qwen2Config(**QWEN)))
+        qp = Qwen2LM(LMConfig(speech_token_size=20, block_size=8,
+                              qwen=Qwen2Config(**QWEN, quant="int4p")))
+        params = fp.init(K(0))
+        params_q = quantize_lm_params(params, "int4p")
+        return fp, qp, params, params_q
+
+    def test_param_tree_matches_int4p_module(self, setup):
+        fp, qp, params, params_q = setup
+        ref = qp.init(K(1))
+        flat_ref = {jax.tree_util.keystr(k): (v.shape, v.dtype)
+                    for k, v in jax.tree_util.tree_leaves_with_path(ref)}
+        flat_got = {jax.tree_util.keystr(k): (np.shape(v), np.asarray(v).dtype)
+                    for k, v in jax.tree_util.tree_leaves_with_path(params_q)}
+        assert flat_ref.keys() == flat_got.keys()
+        for k in flat_ref:
+            assert flat_ref[k][0] == tuple(flat_got[k][0]), k
+            assert flat_ref[k][1] == flat_got[k][1], k
+
+    def test_int4p_logits_track_fp(self, setup):
+        """int4p quantizes with 256-row input groups (the AWQ/TRT-LLM group
+        shape) — coarser than int4's n_in/8 blocks on tiny test dims, so
+        compare against the fp logits as the wiring check (quality on real
+        896-dim weights is gauged by the dequant-error bound tests)."""
+        fp, qp, params, params_q = setup
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, 20, (2, 12)).astype(np.int32)
+        types = np.full((2, 12), TYPE_SPEECH, np.int32)
+        lengths = np.asarray([12, 9], np.int32)
+        lp = np.asarray(qp.module.apply(params_q, ids, types, lengths, method="forward_logits"))
+        lf = np.asarray(fp.module.apply(params, ids, types, lengths, method="forward_logits"))
+        corr = np.corrcoef(lp.ravel(), lf.ravel())[0, 1]
+        assert corr > 0.9, corr
+
+    def test_int4p_generate_runs(self, setup):
+        fp, qp, params, params_q = setup
+        c = qp.cfg
+        rng = np.random.default_rng(2)
+        tt = rng.integers(0, 50, 4).astype(np.int32)
+        ids = np.concatenate([[c.sos_id], tt, [c.task_id]]).astype(np.int32)
+        types = np.concatenate([[TYPE_SPECIAL], np.full(4, TYPE_TEXT), [TYPE_SPECIAL]]).astype(np.int32)
+        blocks = list(qp.generate(params_q, ids, types, K(7), 6, 30))
+        toks = np.concatenate(blocks)
+        assert 6 <= len(toks) <= 30
+        assert (toks < c.speech_token_size).all()
