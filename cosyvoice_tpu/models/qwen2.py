@@ -106,12 +106,15 @@ class QuantDense4(nn.Module):
 def _int4p_use_pallas(rows: int, n_in: int) -> bool:
     import os
 
-    return (
-        rows <= 16
-        and n_in % 128 == 0
-        and jax.default_backend() == "tpu"
-        and os.environ.get("COSY_INT4_PALLAS", "1") != "0"
-    )
+    if rows > 16 or n_in % 128 != 0 or os.environ.get("COSY_INT4_PALLAS", "1") == "0":
+        return False
+    # the computation must actually land on TPU: under init_on_cpu() (a
+    # jax.default_device(cpu) context) default_backend still reports the
+    # accelerator, but tracing a Pallas call for the CPU device crashes
+    dev = getattr(jax.config, "jax_default_device", None)
+    if dev is not None and getattr(dev, "platform", "tpu") != "tpu":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 class QuantDense4P(nn.Module):
