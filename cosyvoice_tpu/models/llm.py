@@ -133,6 +133,38 @@ class Qwen2LMModule(nn.Module):
         hidden, cache = self.llm.decode_step_ragged(emb, cur_len, cache)
         return self.llm_decoder(hidden).astype(jnp.float32), cache
 
+    def decode_step_fused(self, token: jax.Array, cur_len: jax.Array, cache, stacked):
+        """Single-stream int4p decode step through the whole-step Pallas
+        kernel (ops/int4_block.py): every layer in ONE pallas_call, KV rows
+        committed with one dynamic_update_slice across all layers. `stacked`
+        is the stacked weight pack from stack_decode_params (built once per
+        decode block in Qwen2LM._decode_block_impl)."""
+        from cosyvoice_tpu.nn.embedding import rope_frequencies
+        from cosyvoice_tpu.ops.int4_block import int4_decode_layers
+
+        c = self.cfg
+        q = c.qwen
+        emb = self.speech_embedding(jnp.minimum(token, c.head_size - 1))  # [1, C]
+        rc, rs = rope_frequencies(q.head_dim, q.max_cache_len, q.rope_theta)
+        pos = cur_len[0]
+        cos = jax.lax.dynamic_slice_in_dim(rc, pos, 1, axis=0)  # [1, d/2]
+        sin = jax.lax.dynamic_slice_in_dim(rs, pos, 1, axis=0)
+        L, A = q.num_layers, cache[0].shape[2]
+        lanes = q.num_kv_heads * q.head_dim
+        ka = cache[0].reshape(L, A, lanes)
+        va = cache[1].reshape(L, A, lanes)
+        xo, kn, vn = int4_decode_layers(
+            emb, cos, sin, pos, ka, va, **stacked,
+            eps=q.rms_norm_eps, out_dtype=q.dtype,
+            interpret=jax.default_backend() != "tpu",
+        )
+        kup = kn.reshape(L, 1, 1, q.num_kv_heads, q.head_dim).astype(cache[0].dtype)
+        vup = vn.reshape(L, 1, 1, q.num_kv_heads, q.head_dim).astype(cache[1].dtype)
+        ck = jax.lax.dynamic_update_slice(cache[0], kup, (0, 0, pos, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache[1], vup, (0, 0, pos, 0, 0))
+        hidden = self.llm.final_norm(xo)
+        return self.llm_decoder(hidden).astype(jnp.float32), (ck, cv)
+
     def extend_mixed(self, ids, types, start, cache):
         """Append an exact-shape mixed segment (bistream). Returns (logits
         of the last position, cache)."""
@@ -211,6 +243,27 @@ class Qwen2LM:
         c = self.cfg
         eos = c.eos_token
 
+        # single-stream int4p decode routes through the whole-step Pallas
+        # kernel: all layers in one pallas_call (ops/int4_block.py). The
+        # stacked weight pack is built ONCE per block (loop-invariant).
+        stacked = None
+        if not ragged and cur_len.shape[0] == 1 and c.qwen.quant == "int4p":
+            import os
+
+            from cosyvoice_tpu.models.qwen2 import _int4p_use_pallas
+            from cosyvoice_tpu.ops.int4_block import MAX_FUSED_ARENA, stack_decode_params
+
+            mode = os.environ.get("COSY_INT4_BLOCK", "1")
+            ok = (
+                mode != "0"
+                and cache[0].shape[2] <= MAX_FUSED_ARENA
+                and (_int4p_use_pallas(1, c.qwen.hidden_size) or mode == "force")
+            )
+            if ok:
+                stacked = stack_decode_params(
+                    [params["params"]["llm"][f"layers_{i}"] for i in range(c.qwen.num_layers)]
+                )
+
         def sample(rng_k, logits, n_dec, rec):
             logp = jax.nn.log_softmax(logits, axis=-1)
             if bistream:
@@ -251,10 +304,15 @@ class Qwen2LM:
                 fin[:, None], rec, jnp.concatenate([rec[:, 1:], tok[:, None]], axis=1)
             )
             n_dec = jnp.where(fin, n_dec, n_dec + 1)
-            logits_next, cache_c = self.module.apply(
-                params, tok_out, cur, cache_c,
-                method="decode_step_ragged" if ragged else "decode_step",
-            )
+            if stacked is not None:
+                logits_next, cache_c = self.module.apply(
+                    params, tok_out, cur, cache_c, stacked, method="decode_step_fused"
+                )
+            else:
+                logits_next, cache_c = self.module.apply(
+                    params, tok_out, cur, cache_c,
+                    method="decode_step_ragged" if ragged else "decode_step",
+                )
             cur = cur + jnp.where(fin, 0, 1)
             return (rng_c, cache_c, cur, logits_next, rec, n_dec, fin_next), tok_out
 

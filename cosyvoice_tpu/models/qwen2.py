@@ -379,6 +379,11 @@ class Qwen2Model(nn.Module):
     def embed_text(self, token_ids):
         return self.embed_tokens(token_ids)
 
+    def final_norm(self, x):
+        """Expose the final RMSNorm for callers that run the layer stack
+        externally (the fused whole-step decode kernel)."""
+        return self.norm(x)
+
     def _rope(self):
         c = self.cfg
         return rope_frequencies(c.head_dim, c.max_cache_len, c.rope_theta)
