@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", default="")
     parser.add_argument("--iters", type=int, default=8, help="stability loop iterations (reference uses 100)")

@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", default="")
     parser.add_argument("--cache_dir", default=".jax_cache")

@@ -6,6 +6,9 @@ from cosyvoice_tpu.train.executor import average_checkpoints, select_best_checkp
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--src_dir", required=True)
     parser.add_argument("--model_name", default="llm")

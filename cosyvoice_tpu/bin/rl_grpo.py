@@ -48,6 +48,9 @@ def build_prompt(cfg, tokenizer, text: str):
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--train_data", required=True, help="jsonl with {'text': ...} per line")
     parser.add_argument("--model_dir", required=True)

@@ -60,6 +60,9 @@ def build_pipeline(args, tokenizer, gan: bool = False):
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     # pre-parse --config so its "train" section becomes the argparse defaults
     # (explicit CLI flags still win), mirroring the reference's yaml-+-flags
     # layering (bin/train.py:106-112)

@@ -220,6 +220,42 @@ class Qwen2LM:
         return (jnp.pad(k, cfgpad), jnp.pad(v, cfgpad))
 
     # ---------------- decode ----------------
+    def _decode_pack(self, params, cache):
+        """Host-side gate + cache for the whole-step fused int4p weight pack
+        (ops/int4_block.py). Built ONCE per params object and reused across
+        decode blocks — building it inside the jitted block would re-copy all
+        layers' packed weights (~the full LM) on device every block."""
+        c = self.cfg
+        if c.qwen.quant != "int4p" or cache[0].shape[1] != 1:
+            return None
+        import os
+
+        from cosyvoice_tpu.models.qwen2 import _int4p_use_pallas
+        from cosyvoice_tpu.ops.int4_block import MAX_FUSED_ARENA, stack_decode_params
+
+        q = c.qwen
+        qkv_out = (q.num_heads + 2 * q.num_kv_heads) * q.head_dim
+        lanes = q.num_kv_heads * q.head_dim
+        mode = os.environ.get("COSY_INT4_BLOCK", "1")
+        ok = (
+            mode != "0"
+            and cache[0].shape[2] <= MAX_FUSED_ARENA
+            # the fused kernel's MXU dots need 128-lane-aligned qkv/arena
+            # layouts; non-multiple head configs take the per-matmul path
+            and qkv_out % 128 == 0
+            and lanes % 128 == 0
+            and (_int4p_use_pallas(1, q.hidden_size, q.hidden_size) or mode == "force")
+        )
+        if not ok:
+            return None
+        cached = getattr(self, "_pack_cache", None)
+        if cached is None or cached[0] is not params:
+            pack = stack_decode_params(
+                [params["params"]["llm"][f"layers_{i}"] for i in range(c.qwen.num_layers)]
+            )
+            self._pack_cache = (params, pack)
+        return self._pack_cache[1]
+
     def _decode_block_impl(
         self,
         params,
@@ -234,6 +270,9 @@ class Qwen2LM:
         block_size: int,
         bistream: bool = False,
         ragged: bool = False,  # per-row positions (continuous batching)
+        stacked=None,          # whole-step fused int4p pack (built host-side
+                               # once per params in _decode_pack, NOT re-staged
+                               # on device every block)
     ):
         """Decode up to block_size tokens fully on device.
 
@@ -242,27 +281,6 @@ class Qwen2LM:
         """
         c = self.cfg
         eos = c.eos_token
-
-        # single-stream int4p decode routes through the whole-step Pallas
-        # kernel: all layers in one pallas_call (ops/int4_block.py). The
-        # stacked weight pack is built ONCE per block (loop-invariant).
-        stacked = None
-        if not ragged and cur_len.shape[0] == 1 and c.qwen.quant == "int4p":
-            import os
-
-            from cosyvoice_tpu.models.qwen2 import _int4p_use_pallas
-            from cosyvoice_tpu.ops.int4_block import MAX_FUSED_ARENA, stack_decode_params
-
-            mode = os.environ.get("COSY_INT4_BLOCK", "1")
-            ok = (
-                mode != "0"
-                and cache[0].shape[2] <= MAX_FUSED_ARENA
-                and (_int4p_use_pallas(1, c.qwen.hidden_size) or mode == "force")
-            )
-            if ok:
-                stacked = stack_decode_params(
-                    [params["params"]["llm"][f"layers_{i}"] for i in range(c.qwen.num_layers)]
-                )
 
         def sample(rng_k, logits, n_dec, rec):
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -376,7 +394,8 @@ class Qwen2LM:
             cache = self.grow_cache(cache, self.arena_bucket(cur_host + block_size + 1))
             rng, k = jax.random.split(rng)
             tokens, logits, cache, cur_len, recent, n_decoded, finished = self._jit_decode_block(
-                params, k, cache, cur_len, logits, recent, n_decoded, min_l, finished, block_size
+                params, k, cache, cur_len, logits, recent, n_decoded, min_l, finished, block_size,
+                stacked=self._decode_pack(params, cache),
             )
             cur_host += block_size
             toks = np.asarray(tokens[0])
@@ -449,6 +468,7 @@ class Qwen2LM:
                 tokens, logits, cache, cur, recent, n_decoded, fin = self._jit_decode_block(
                     params, rng_k, cache, cur, logits, recent, n_decoded,
                     jnp.asarray([0], jnp.int32), fin0, steps, True,
+                    stacked=self._decode_pack(params, cache),
                 )
                 cur_host += steps
                 toks = np.asarray(tokens[0])
@@ -512,6 +532,7 @@ class Qwen2LM:
             tokens, logits, cache, cur, recent, n_decoded, finished = self._jit_decode_block(
                 params, k, cache, cur, logits, recent, n_decoded,
                 jnp.asarray([0], jnp.int32), finished, self.cfg.block_size, False,
+                stacked=self._decode_pack(params, cache),
             )
             cur_host += self.cfg.block_size
             toks = np.asarray(tokens[0])

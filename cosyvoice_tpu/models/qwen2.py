@@ -103,10 +103,15 @@ class QuantDense4(nn.Module):
         return y
 
 
-def _int4p_use_pallas(rows: int, n_in: int) -> bool:
+def _int4p_use_pallas(rows: int, n_in: int, n_out: int = 0) -> bool:
     import os
 
     if rows > 16 or n_in % 128 != 0 or os.environ.get("COSY_INT4_PALLAS", "1") == "0":
+        return False
+    # int4_gemv's out-grid blocks are 128-lane multiples (_pick_bo); a
+    # non-multiple out dim (e.g. a head config where (nh+2*nkv)*hd % 128 != 0)
+    # must take the XLA blocked-matmul path instead of tripping the assert
+    if n_out % 128 != 0:
         return False
     # the computation must actually land on TPU: under init_on_cpu() (a
     # jax.default_device(cpu) context) default_backend still reports the
@@ -144,7 +149,7 @@ class QuantDense4P(nn.Module):
         scale = self.param("scale4", nn.initializers.ones, (nb, self.features), jnp.float32)
         lead = x.shape[:-1]
         rows = int(np.prod(lead))
-        if _int4p_use_pallas(rows, in_f):
+        if _int4p_use_pallas(rows, in_f, self.features):
             y = int4_gemv(x.reshape(rows, in_f), kq, scale, out_dtype=self.dtype).reshape(
                 *lead, self.features
             )
@@ -269,7 +274,7 @@ class Qwen2Attention(nn.Module):
                 # fused-tail path: the layer hands (pre-o attention, o
                 # weights) to ONE Pallas kernel with the norm + MLP
                 return (out, o_p, o_s), new_cache
-            if _int4p_use_pallas(B * S, nq):
+            if _int4p_use_pallas(B * S, nq, c.hidden_size):
                 out = int4_gemv(out.reshape(B * S, nq), o_p, o_s, out_dtype=c.dtype).reshape(
                     B, S, c.hidden_size
                 )

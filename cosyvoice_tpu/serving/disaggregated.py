@@ -207,9 +207,6 @@ class RemoteEngine:
         self.seed = seed
         self.scheduler = None
         self._streams = {}  # id(state) -> _T2WStream
-        import threading as _threading
-
-        self._tl = _threading.local()  # per-consumer-thread open-stream keys
         self._gen_tokens = llm_channel.unary_stream(
             "/cosyvoice_tpu.CosyVoiceLLM/GenerateTokens",
             request_serializer=pb.LLMRequest.SerializeToString,
@@ -275,30 +272,33 @@ class RemoteEngine:
                 kwargs["token_generator"] = self._squelch(
                     self._remote_tokens(ids, types, len(text_tokens) * 2, len(text_tokens) * 20, seed)
                 )
-        gen = RemoteEngine._E.tts(self, *args, **kwargs)
-        # track the streams THIS call opens (generator bodies run in the
-        # consumer's thread, so a thread-local key list is per-session even
-        # with concurrent gateway sessions; a single shared last-key slot
-        # would let session A close session B's stream)
-        prev = getattr(self._tl, "keys", None)
-        self._tl.keys = []
+        # track the streams THIS call opens via a per-call shallow-copy view:
+        # the `_opened` list rides in this generator's closure, so cleanup is
+        # correct even when successive next() calls land on different threads
+        # (FastAPI's iterate_in_threadpool) or when generators interleave on
+        # one thread — a thread-local or shared last-key slot would let
+        # session A leak or close session B's stream
+        import copy as _copy
+
+        view = _copy.copy(self)
+        view._opened = []
+        gen = RemoteEngine._E.tts(view, *args, **kwargs)
         try:
             yield from gen
         finally:
-            for key in self._tl.keys:
+            for key in view._opened:
                 s = self._streams.pop(key, None)
                 if s is not None:
                     s.close()
-            self._tl.keys = prev
 
     # ---- token2wav via RPC ----
     def _stream_for(self, state) -> "_T2WStream":
         key = id(state)
         if key not in self._streams:
             self._streams[key] = _T2WStream(self.t2w_channel)
-            keys = getattr(self._tl, "keys", None)
-            if keys is not None:
-                keys.append(key)
+            opened = getattr(self, "_opened", None)
+            if opened is not None:
+                opened.append(key)
         return self._streams[key]
 
     def _ctx_fields(self, prompt_token, prompt_feat, embedding, first: bool) -> dict:

@@ -76,6 +76,9 @@ def make_server(model, port: int = 50000, max_conc: int = 4):
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--port", type=int, default=50000)
     parser.add_argument("--model_dir", type=str, default="")

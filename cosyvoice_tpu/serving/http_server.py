@@ -125,6 +125,9 @@ def make_fastapi_app(model):
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     import argparse
 
     parser = argparse.ArgumentParser()

@@ -351,7 +351,13 @@ def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict) -> dict
                 if k.startswith(pre):
                     k = k[len(pre):]
                     stripped = True
-        sd[k] = np.asarray(v, np.float32)
+        arr = np.asarray(v, np.float32)
+        if k in sd and not (sd[k].shape == arr.shape and np.array_equal(sd[k], arr)):
+            # two distinct checkpoint keys normalized to the same name (e.g.
+            # 'conv1.weight' alongside 'model.conv1.weight' with different
+            # values) — silently keeping the last would load wrong weights
+            raise ValueError(f"prefix-stripping collision on '{k}': differing duplicate weights")
+        sd[k] = arr
 
     filler = TreeFiller(template)
     P = "params"
@@ -427,6 +433,9 @@ def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict) -> dict
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", required=True, help="reference model dir with llm.pt/flow.pt/hift.pt")
     parser.add_argument("--out_dir", required=True)

@@ -8,6 +8,9 @@ import numpy as np
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dir", required=True, help="kaldi-style dir with wav.scp and utt2spk")
     parser.add_argument("--num_thread", type=int, default=8)

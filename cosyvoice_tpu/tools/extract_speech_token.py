@@ -5,6 +5,9 @@ import pickle
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dir", required=True)
     args = parser.parse_args()

@@ -11,6 +11,23 @@ from contextlib import contextmanager, nullcontext
 import jax
 
 
+def honor_env_platforms():
+    """Re-apply an explicit JAX_PLATFORMS=cpu request.
+
+    Accelerator plugins registered via sitecustomize (the axon PJRT tunnel
+    here) force jax_platforms programmatically at interpreter start, which
+    silently overrides the env var — a subprocess launched with
+    JAX_PLATFORMS=cpu (hermetic tests, CPU smoke runs) would still dial the
+    accelerator and hang if the tunnel is down. Call this at CLI entry
+    points BEFORE any jax computation. Only the exact value "cpu" is
+    honored: re-applying e.g. "axon" would drop the cpu backend that
+    init_on_cpu relies on."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
 def cpu_device():
     try:
         return jax.local_devices(backend="cpu")[0]

@@ -11,6 +11,9 @@ import numpy as np
 
 
 def main():
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_dir", default="")
     parser.add_argument("--full_size", action="store_true")
