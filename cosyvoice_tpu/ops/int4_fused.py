@@ -63,17 +63,29 @@ GEMV_IN_ALIGN = 256
 
 
 def _sx4(v):
-    """Sign-extend the low nibble of an int8 (arithmetic shifts)."""
-    return jnp.right_shift(jnp.left_shift(v, 4), 4)
+    """Decode the OFFSET-BINARY low nibble of a packed int8 (stored value =
+    q + 8, so decode is one and + one sub instead of a 3-op sign-extend)."""
+    return (v & 15) - 8
 
 
 def _unpack32(blk):
     """In-kernel nibble unpack via int32 (Mosaic has no int8 vector shifts):
-    returns (lo, hi) sign-extended int32 planes of a packed int8 block."""
+    returns (lo, hi) signed int32 planes of a packed int8 block. The low
+    nibble is stored offset-binary (q+8) so decoding is and+sub; the high
+    nibble is plain two's complement recovered by the arithmetic shift."""
     v = blk.astype(jnp.int32)
-    lo = ((v & 15) ^ 8) - 8  # sign-extend the low nibble
+    lo = (v & 15) - 8
     hi = jnp.right_shift(v, 4)  # i8->i32 kept the sign: arithmetic shift
     return lo, hi
+
+
+def _unpack32_biased(blk):
+    """Like _unpack32 but returns the low plane UNDECODED (biased, 0..15):
+    dot(x, lo_u) - 8*sum(x) == dot(x, lo) — callers fold the -8 into one
+    [B,1] row-sum correction instead of a [half, O] elementwise sub, which
+    removes the largest remaining VPU op from the unpack hot loop."""
+    v = blk.astype(jnp.int32)
+    return v & 15, jnp.right_shift(v, 4)
 
 
 def _dot(a, b):
@@ -108,7 +120,10 @@ def quantize_tensor_int4_blocked(
     scale = np.max(np.abs(blocks), axis=1, keepdims=True) / 7.0
     scale = np.maximum(scale, 1e-12)
     q = np.clip(np.round(blocks / scale), -7, 7).astype(np.int8)
-    packed = (q[:, :half] & 0x0F) | (q[:, half:] << 4)
+    # low nibble offset-binary (q+8 in 1..15): in-kernel decode is and+sub
+    # (vs a 3-op sign-extend), and the gemv kernels can skip even the sub by
+    # folding -8 into a row-sum correction (_unpack32_biased)
+    packed = ((q[:, :half] + 8) & 0x0F) | (q[:, half:] << 4)
     return packed.astype(np.int8), scale[:, 0, :].astype(np.float32)
 
 
@@ -231,15 +246,22 @@ def _lane_pad(x, half: int, cap: int):
 def _gemv_planes(xb, p_ref, s_ref, nb, half, n_in):
     """Sum of scaled per-plane dots: xb [B, n_in] bf16 VALUE; p_ref
     [nb, half, BO]; s_ref [nb, BO]. Weight halves entirely in the
-    zero-padded row range (offset >= n_in) are skipped at trace time."""
+    zero-padded row range (offset >= n_in) are skipped at trace time.
+
+    The low plane stays BIASED (q+8): dot(x, q+8) - 8*sum(x) == dot(x, q),
+    so the per-element -8 over [half, BO] collapses to one [B,1] row-sum —
+    the unpack hot loop is i8->i32, and, shift + two bf16 converts only."""
     acc = None
     for b in range(nb):
-        lo, hi = _unpack32(p_ref[b])
-        for plane, w in ((0, lo), (1, hi)):
+        lo_u, hi = _unpack32_biased(p_ref[b])
+        for plane, w in ((0, lo_u), (1, hi)):
             off = b * 2 * half + plane * half
             if off >= n_in:
                 continue
-            part = _dot(xb[:, off : off + half], w.astype(jnp.bfloat16))
+            xs = xb[:, off : off + half]
+            part = _dot(xs, w.astype(jnp.bfloat16))
+            if plane == 0:
+                part = part - 8.0 * jnp.sum(xs.astype(jnp.float32), axis=1, keepdims=True)
             part = part * s_ref[b][None, :]
             acc = part if acc is None else acc + part
     return acc  # [B, BO] f32
@@ -309,10 +331,12 @@ def _mlp_cell(xb, gup_ref, gus_ref, dp_ref, ds_ref, nb_in, half_in, n_in, n_sub)
     act = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)  # [B, BI]
     part_o = None
     for j in range(n_sub):
-        lo, hi = _unpack32(dp_ref[j])  # [256, O]
+        lo_u, hi = _unpack32_biased(dp_ref[j])  # [256, O]
         al = act[:, j * 512 : j * 512 + 256]
         ah = act[:, j * 512 + 256 : (j + 1) * 512]
-        p = (_dot(al, lo.astype(jnp.bfloat16)) + _dot(ah, hi.astype(jnp.bfloat16))) * ds_ref[j, 0][None, :]
+        p = _dot(al, lo_u.astype(jnp.bfloat16)) + _dot(ah, hi.astype(jnp.bfloat16))
+        p = p - 8.0 * jnp.sum(al.astype(jnp.float32), axis=1, keepdims=True)
+        p = p * ds_ref[j, 0][None, :]
         part_o = p if part_o is None else part_o + p
     return part_o
 
