@@ -98,3 +98,29 @@ class TestS3Conversion:
         params = convert_s3_tokenizer(sd, template)
         leaves = jax.tree_util.tree_leaves(params)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+    def test_prefix_collision_raises(self):
+        """Two distinct checkpoint keys normalizing to one name with
+        DIFFERENT values must fail loudly, not silently keep the last."""
+        import pytest as _pytest
+
+        sd = {
+            "conv1.weight": np.ones((4, 4), np.float32),
+            "model.conv1.weight": np.zeros((4, 4), np.float32),
+        }
+        with _pytest.raises(ValueError, match="collision"):
+            convert_s3_tokenizer(sd, template={})
+
+    def test_prefix_duplicate_identical_ok(self):
+        """Identical duplicates (wrapper + submodule dumps of the SAME
+        tensor) normalize without error — only differing values collide."""
+        w = np.ones((4, 4, 3), np.float32)
+        sd = {"conv1.weight": w, "model.conv1.weight": w.copy()}
+        try:
+            convert_s3_tokenizer(sd, template={})
+        except ValueError as e:  # pragma: no cover
+            raise AssertionError(f"identical duplicates must not collide: {e}")
+        except AssertionError:
+            # TreeFiller's unfilled-leaves assert on the empty template is
+            # expected — normalization itself passed
+            pass

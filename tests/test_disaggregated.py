@@ -118,6 +118,42 @@ class TestDisaggregated:
         total = sum(o["tts_speech"].shape[1] for o in outs)
         assert total == 60 * FakeT2WEngine.wav_per_token
 
+    def test_interleaved_streams_cleanup(self, workers, remote_engine):
+        """Two tts() generators interleaved, every next() on a DIFFERENT
+        thread (the FastAPI iterate_in_threadpool dispatch pattern): each
+        session must produce its full audio and close exactly its own
+        token2wav stream — no leaks, no cross-session closes."""
+        g1 = remote_engine.tts(**_tts_kwargs(stream=True))
+        g2 = remote_engine.tts(**_tts_kwargs(stream=True))
+
+        def step(gen):
+            box = {}
+
+            def run():
+                try:
+                    box["v"] = next(gen)
+                except StopIteration:
+                    box["v"] = None
+
+            t = threading.Thread(target=run)
+            t.start()
+            t.join()
+            return box["v"]
+
+        outs1, outs2 = [], []
+        while True:
+            v1, v2 = step(g1), step(g2)
+            if v1 is None and v2 is None:
+                break
+            if v1 is not None:
+                outs1.append(v1)
+            if v2 is not None:
+                outs2.append(v2)
+        total = 60 * FakeT2WEngine.wav_per_token
+        assert sum(o["tts_speech"].shape[1] for o in outs1) == total
+        assert sum(o["tts_speech"].shape[1] for o in outs2) == total
+        assert remote_engine._streams == {}, "leaked token2wav streams"
+
     def test_bistream_text_input(self, workers, remote_engine):
         lm, eng = workers
 

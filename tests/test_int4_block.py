@@ -133,7 +133,9 @@ class TestModelParity:
 
     def test_block_routing_force(self):
         """COSY_INT4_BLOCK=force routes the decode block through the fused
-        step on CPU (interpret); the block must run and emit legal tokens."""
+        step on CPU (interpret); the block must run and emit legal tokens.
+        The pack is built host-side once per params (_decode_pack) and must
+        be identity-cached across blocks."""
         qlm, qparams = self._tiny_lm()
         cache = qlm.init_cache(1, length=A)
         rng = np.random.default_rng(3)
@@ -142,11 +144,16 @@ class TestModelParity:
         logits0, cache = qlm._jit_prefill(qparams, ids, types, jnp.asarray([8]), cache)
         os.environ["COSY_INT4_BLOCK"] = "force"
         try:
+            stacked = qlm._decode_pack(qparams, cache)
+            assert stacked is not None, "force mode must build the fused pack"
+            # identity-cached: a second call for the same params is the SAME
+            # arrays (no per-block device restage)
+            assert qlm._decode_pack(qparams, cache) is stacked
             tokens, logits, cache, cur, rec, ndec, fin = qlm._jit_decode_block(
                 qparams, jax.random.PRNGKey(0), cache, jnp.asarray([8], jnp.int32),
                 logits0, jnp.full((1, qlm.cfg.win_size), -1, jnp.int32),
                 jnp.zeros((1,), jnp.int32), jnp.asarray([4], jnp.int32),
-                jnp.zeros((1,), bool), 4,
+                jnp.zeros((1,), bool), 4, stacked=stacked,
             )
         finally:
             os.environ.pop("COSY_INT4_BLOCK")
@@ -154,3 +161,29 @@ class TestModelParity:
         assert t.shape == (1, 4)
         assert (t >= 0).all() and (t < qlm.cfg.head_size).all()
         assert int(np.asarray(cur)[0]) <= 12
+
+    def test_decode_pack_gates(self):
+        """_decode_pack refuses batch>1 arenas, COSY_INT4_BLOCK=0, and head
+        configs whose qkv/lane dims are not 128-lane multiples."""
+        import dataclasses
+
+        qlm, qparams = self._tiny_lm()
+        cache1 = qlm.init_cache(1, length=A)
+        os.environ["COSY_INT4_BLOCK"] = "0"
+        try:
+            assert qlm._decode_pack(qparams, cache1) is None
+        finally:
+            os.environ["COSY_INT4_BLOCK"] = "force"
+        try:
+            assert qlm._decode_pack(qparams, qlm.init_cache(2, length=A)) is None
+            # qkv_out = (3+2*1)*48 = 240, lanes = 48: not 128-multiples
+            from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+            from cosyvoice_tpu.models.qwen2 import Qwen2Config
+
+            odd = Qwen2LM(LMConfig(speech_token_size=50, qwen=Qwen2Config(
+                hidden_size=128, num_layers=1, num_heads=3, num_kv_heads=1,
+                head_dim=48, intermediate_size=256, vocab_size=64,
+                max_cache_len=A, dtype=jnp.float32, quant="int4p")))
+            assert odd._decode_pack(qparams, odd.init_cache(1, length=A)) is None
+        finally:
+            os.environ.pop("COSY_INT4_BLOCK")
