@@ -250,7 +250,14 @@ def _gemv_planes(xb, p_ref, s_ref, nb, half, n_in):
 
     The low plane stays BIASED (q+8): dot(x, q+8) - 8*sum(x) == dot(x, q),
     so the per-element -8 over [half, BO] collapses to one [B,1] row-sum —
-    the unpack hot loop is i8->i32, and, shift + two bf16 converts only."""
+    the unpack hot loop is i8->i32, and, shift + two bf16 converts only.
+
+    COSY_INT4_UNPACK=fold selects the shift-free variant (read at trace
+    time; see _gemv_planes_fold)."""
+    import os
+
+    if os.environ.get("COSY_INT4_UNPACK", "planes") == "fold":
+        return _gemv_planes_fold(xb, p_ref, s_ref, nb, half, n_in)
     acc = None
     for b in range(nb):
         lo_u, hi = _unpack32_biased(p_ref[b])
@@ -264,6 +271,37 @@ def _gemv_planes(xb, p_ref, s_ref, nb, half, n_in):
                 part = part - 8.0 * jnp.sum(xs.astype(jnp.float32), axis=1, keepdims=True)
             part = part * s_ref[b][None, :]
             acc = part if acc is None else acc + part
+    return acc  # [B, BO] f32
+
+
+def _gemv_planes_fold(xb, p_ref, s_ref, nb, half, n_in):
+    """Shift-free unpack (experimental, env COSY_INT4_UNPACK=fold): with the
+    low nibble stored offset-binary, byte == 16*q_hi + lo_u exactly (two's
+    complement), so the high plane's dot is recovered from the RAW byte:
+
+      dot(x_lo, q_lo) + dot(x_hi, q_hi)
+        == dot(x_lo - x_hi/16, lo_u) + dot(x_hi/16, byte) - 8*sum(x_lo)
+
+    Per packed byte this needs only an int8 `and` + two i8->bf16 converts
+    (no i32 roundtrip, no shift) at the cost of two tiny [B, half]
+    activation ops; same two MXU dots. Falls back structurally to the
+    lo-only form for blocks whose high half is entirely zero-padding."""
+    acc = None
+    for b in range(nb):
+        v = p_ref[b]
+        off = b * 2 * half
+        if off >= n_in:
+            continue
+        lo_u = (v & 15).astype(jnp.bfloat16)
+        x_lo = xb[:, off : off + half]
+        corr = -8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+        if off + half < n_in:
+            x_hi16 = xb[:, off + half : off + 2 * half] * jnp.bfloat16(1.0 / 16.0)
+            part = _dot(x_lo - x_hi16, lo_u) + _dot(x_hi16, v.astype(jnp.bfloat16)) + corr
+        else:
+            part = _dot(x_lo, lo_u) + corr
+        part = part * s_ref[b][None, :]
+        acc = part if acc is None else acc + part
     return acc  # [B, BO] f32
 
 

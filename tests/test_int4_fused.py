@@ -57,6 +57,29 @@ class TestGemv:
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
 
+    def test_fold_scheme_matches_planes(self):
+        """The shift-free 'fold' unpack (dot identity on the raw byte) must
+        agree with the per-plane unpack, including a ragged final block whose
+        high half is pure padding (lo-only branch)."""
+        from cosyvoice_tpu.ops.int4_fused import (
+            _gemv_planes,
+            _gemv_planes_fold,
+            _lane_pad,
+            pack_gemv_int4,
+        )
+
+        rng = np.random.default_rng(11)
+        for n_in in (384, 512):  # 1.5 blocks (ragged) and 2 full blocks
+            w = rng.standard_normal((n_in, 128)).astype(np.float32) * 0.1
+            x = rng.standard_normal((2, n_in)).astype(np.float32)
+            p, s = pack_gemv_int4(w)
+            nb, half, _ = p.shape
+            xb = _lane_pad(jnp.asarray(x, jnp.bfloat16), half, nb * 2 * half)
+            n_pad = xb.shape[-1]
+            a = _gemv_planes(xb, jnp.asarray(p), jnp.asarray(s), nb, half, n_pad)
+            b = _gemv_planes_fold(xb, jnp.asarray(p), jnp.asarray(s), nb, half, n_pad)
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-2, atol=2e-2)
+
     def test_matches_float_matmul_within_quant_error(self):
         rng = np.random.default_rng(3)
         w = rng.standard_normal((64, 128)).astype(np.float32) * 0.05
