@@ -114,18 +114,23 @@ def main():
         logits, cache = model._jit_prefill(
             params, jnp.asarray(ids_d), jnp.asarray(types_d), jnp.asarray([len(ids)]), cache
         )
+        # host-side fused int4p pack (None for other quant modes) — the
+        # production decode loops pass this the same way
+        pack = model._decode_pack(params, cache)
         cur = jnp.asarray([len(ids)], jnp.int32)
         rec = jnp.full((1, cc.win_size), -1, jnp.int32)
         nd = jnp.zeros((1,), jnp.int32)
         ml = jnp.asarray([n_tokens], jnp.int32)
         fin = jnp.zeros((1,), bool)
-        o = model._jit_decode_block(params, K(1), cache, cur, logits, rec, nd, ml, fin, block)
+        o = model._jit_decode_block(params, K(1), cache, cur, logits, rec, nd, ml, fin, block, stacked=pack)
         _sync(o[0])
-        o = model._jit_decode_block(params, K(2), o[2], cur, logits, rec, nd, ml, fin, block)
+        o = model._jit_decode_block(params, K(2), o[2], cur, logits, rec, nd, ml, fin, block, stacked=pack)
         _sync(o[0])  # >=2 warm runs: program upload is lazy
         t0 = time.time()
         for i in range(n_rep):
-            o = model._jit_decode_block(params, K(3 + i), o[2], cur, logits, rec, nd, ml, fin, block)
+            o = model._jit_decode_block(
+                params, K(3 + i), o[2], cur, logits, rec, nd, ml, fin, block, stacked=pack
+            )
         _sync(o[0])
         return (time.time() - t0) / n_rep
 
