@@ -48,8 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 from cosyvoice_tpu.ops.int4_fused import (
     MLP_INTER_ALIGN,
     _dot,
+    _down_dot,
     _gemv_planes,
-    _unpack32_biased,
 )
 
 # gate the fused step on arena length: the K/V blocks are double-buffered
@@ -186,11 +186,9 @@ def _decode_layers_kernel(
     act = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)      # [1, inter_chunk]
     mlp = None
     for j in range(n_sub):
-        lo_u, hi = _unpack32_biased(dp_ref[0, j])
         al = act[:, j * MLP_INTER_ALIGN : j * MLP_INTER_ALIGN + MLP_INTER_ALIGN // 2]
         ah = act[:, j * MLP_INTER_ALIGN + MLP_INTER_ALIGN // 2 : (j + 1) * MLP_INTER_ALIGN]
-        part = _dot(al, lo_u.astype(jnp.bfloat16)) + _dot(ah, hi.astype(jnp.bfloat16))
-        part = part - 8.0 * jnp.sum(al.astype(jnp.float32), axis=1, keepdims=True)
+        part = _down_dot(dp_ref[0, j], al, ah)
         part = part * ds_ref[0, j, 0][None, :]
         mlp = part if mlp is None else mlp + part
     x2s[:] = x2s[:] + mlp

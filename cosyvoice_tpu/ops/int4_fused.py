@@ -356,6 +356,21 @@ def int4_gemv(x, packed, scale, out_dtype=jnp.bfloat16, block_out: int = 0, inte
     )(x, packed, scale)
 
 
+def _down_dot(blk, x_lo, x_hi):
+    """One down-proj scale block: dot(x_lo, q_lo) + dot(x_hi, q_hi) with the
+    -8 low-plane bias folded into a row-sum; COSY_INT4_UNPACK=fold uses the
+    shift-free raw-byte identity (see _gemv_planes_fold)."""
+    import os
+
+    corr = -8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+    if os.environ.get("COSY_INT4_UNPACK", "planes") == "fold":
+        lo_u = (blk & 15).astype(jnp.bfloat16)
+        x_hi16 = x_hi * jnp.bfloat16(1.0 / 16.0)
+        return _dot(x_lo - x_hi16, lo_u) + _dot(x_hi16, blk.astype(jnp.bfloat16)) + corr
+    lo_u, hi = _unpack32_biased(blk)
+    return _dot(x_lo, lo_u.astype(jnp.bfloat16)) + _dot(x_hi, hi.astype(jnp.bfloat16)) + corr
+
+
 # ---------------------------------------------------------------------------
 # Pallas fused SwiGLU MLP
 # ---------------------------------------------------------------------------
@@ -369,11 +384,9 @@ def _mlp_cell(xb, gup_ref, gus_ref, dp_ref, ds_ref, nb_in, half_in, n_in, n_sub)
     act = (gate * jax.nn.sigmoid(gate) * up).astype(jnp.bfloat16)  # [B, BI]
     part_o = None
     for j in range(n_sub):
-        lo_u, hi = _unpack32_biased(dp_ref[j])  # [256, O]
         al = act[:, j * 512 : j * 512 + 256]
         ah = act[:, j * 512 + 256 : (j + 1) * 512]
-        p = _dot(al, lo_u.astype(jnp.bfloat16)) + _dot(ah, hi.astype(jnp.bfloat16))
-        p = p - 8.0 * jnp.sum(al.astype(jnp.float32), axis=1, keepdims=True)
+        p = _down_dot(dp_ref[j], al, ah)
         p = p * ds_ref[j, 0][None, :]
         part_o = p if part_o is None else part_o + p
     return part_o
