@@ -29,6 +29,25 @@ def _wav_from_b64(b64: str) -> np.ndarray:
     return (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
 
 
+def _metrics(model) -> dict:
+    """Structured serving metrics (SURVEY §5.1/§5.5 — the reference has only
+    ad-hoc per-yield RTF logs): request counters + per-stage wall-time
+    percentiles from the engine's StageTimer."""
+    out = {"requests": dict(_REQUEST_COUNTS), "audio_seconds": _AUDIO_SECONDS[0]}
+    timer = getattr(getattr(model, "engine", None), "timer", None)
+    if timer is not None:
+        out["stages"] = timer.summary()
+    return out
+
+
+_REQUEST_COUNTS: dict = {}
+_AUDIO_SECONDS = [0.0]
+
+
+def _count(endpoint: str):
+    _REQUEST_COUNTS[endpoint] = _REQUEST_COUNTS.get(endpoint, 0) + 1
+
+
 def _dispatch(model, endpoint: str, body: dict):
     stream = bool(body.get("stream", False))
     if endpoint == "inference_sft":
@@ -54,6 +73,18 @@ def _dispatch(model, endpoint: str, body: dict):
 
 def make_stdlib_server(model, host: str = "0.0.0.0", port: int = 50000) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            if self.path.strip("/") != "metrics":
+                self.send_response(404)
+                self.end_headers()
+                return
+            payload = json.dumps(_metrics(model)).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
         def do_POST(self):  # noqa: N802
             endpoint = self.path.strip("/")
             try:
@@ -65,11 +96,14 @@ def make_stdlib_server(model, host: str = "0.0.0.0", port: int = 50000) -> Threa
                 self.end_headers()
                 self.wfile.write(str(e).encode())
                 return
+            _count(endpoint)
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
+            sr = getattr(model, "sample_rate", 24000)
             for out in gen:
+                _AUDIO_SECONDS[0] += out["tts_speech"].shape[1] / sr
                 chunk = _pcm(out["tts_speech"])
                 self.wfile.write(f"{len(chunk):x}\r\n".encode())
                 self.wfile.write(chunk)
@@ -88,38 +122,46 @@ def make_fastapi_app(model):
 
     app = FastAPI()
 
-    def stream(gen):
+    def stream(gen, endpoint: str):
+        _count(endpoint)
+        sr = getattr(model, "sample_rate", 24000)
+
         def body():
             for out in gen:
+                _AUDIO_SECONDS[0] += out["tts_speech"].shape[1] / sr
                 yield _pcm(out["tts_speech"])
 
         return StreamingResponse(body())
+
+    @app.get("/metrics")
+    async def metrics():
+        return _metrics(model)
 
     @app.post("/inference_zero_shot")
     async def zero_shot(tts_text: str = Form(), prompt_text: str = Form(), prompt_wav: UploadFile = None):
         raw = await prompt_wav.read()
         wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
-        return stream(model.inference_zero_shot(tts_text, prompt_text, wav))
+        return stream(model.inference_zero_shot(tts_text, prompt_text, wav), "inference_zero_shot")
 
     @app.post("/inference_cross_lingual")
     async def cross_lingual(tts_text: str = Form(), prompt_wav: UploadFile = None):
         raw = await prompt_wav.read()
         wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
-        return stream(model.inference_cross_lingual(tts_text, wav))
+        return stream(model.inference_cross_lingual(tts_text, wav), "inference_cross_lingual")
 
     @app.post("/inference_sft")
     async def sft(tts_text: str = Form(), spk_id: str = Form()):
-        return stream(model.inference_sft(tts_text, spk_id))
+        return stream(model.inference_sft(tts_text, spk_id), "inference_sft")
 
     @app.post("/inference_instruct")
     async def instruct(tts_text: str = Form(), spk_id: str = Form(), instruct_text: str = Form()):
-        return stream(model.inference_instruct(tts_text, spk_id, instruct_text))
+        return stream(model.inference_instruct(tts_text, spk_id, instruct_text), "inference_instruct")
 
     @app.post("/inference_instruct2")
     async def instruct2(tts_text: str = Form(), instruct_text: str = Form(), prompt_wav: UploadFile = None):
         raw = await prompt_wav.read()
         wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
-        return stream(model.inference_instruct2(tts_text, instruct_text, wav))
+        return stream(model.inference_instruct2(tts_text, instruct_text, wav), "inference_instruct2")
 
     return app
 

@@ -74,6 +74,26 @@ class TestHTTPServing:
         conn.request("POST", "/nope", "{}")
         assert conn.getresponse().status == 400
 
+    def test_metrics_endpoint(self, http_srv):
+        prompt = base64.b64encode(np.zeros(1600, np.int16).tobytes()).decode()
+        conn = http.client.HTTPConnection("127.0.0.1", 50911)
+        conn.request(
+            "POST", "/inference_zero_shot",
+            json.dumps({"tts_text": "hi", "prompt_text": "p", "prompt_audio_b64": prompt}),
+        )
+        conn.getresponse().read()
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        m = json.loads(resp.read())
+        assert m["requests"].get("inference_zero_shot", 0) >= 1
+        assert m["audio_seconds"] > 0
+
+    def test_metrics_unknown_get_404(self, http_srv):
+        conn = http.client.HTTPConnection("127.0.0.1", 50911)
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+
 
 class TestGRPCServing:
     def test_inference_stream(self, grpc_srv):
