@@ -74,13 +74,19 @@ def _dispatch(model, endpoint: str, body: dict):
 def make_stdlib_server(model, host: str = "0.0.0.0", port: int = 50000) -> ThreadingHTTPServer:
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802
-            if self.path.strip("/") != "metrics":
+            path = self.path.split("?")[0].strip("/")
+            if path == "metrics":
+                payload, ctype = json.dumps(_metrics(model)).encode(), "application/json"
+            elif path == "":
+                from cosyvoice_tpu.serving.web_page import render
+
+                payload, ctype = render(getattr(model, "sample_rate", 24000)), "text/html; charset=utf-8"
+            else:
                 self.send_response(404)
                 self.end_headers()
                 return
-            payload = json.dumps(_metrics(model)).encode()
             self.send_response(200)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)
@@ -117,8 +123,8 @@ def make_stdlib_server(model, host: str = "0.0.0.0", port: int = 50000) -> Threa
 
 
 def make_fastapi_app(model):
-    from fastapi import FastAPI, Form, UploadFile
-    from fastapi.responses import StreamingResponse
+    from fastapi import FastAPI, Request
+    from fastapi.responses import HTMLResponse, StreamingResponse
 
     app = FastAPI()
 
@@ -137,31 +143,36 @@ def make_fastapi_app(model):
     async def metrics():
         return _metrics(model)
 
-    @app.post("/inference_zero_shot")
-    async def zero_shot(tts_text: str = Form(), prompt_text: str = Form(), prompt_wav: UploadFile = None):
-        raw = await prompt_wav.read()
-        wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
-        return stream(model.inference_zero_shot(tts_text, prompt_text, wav), "inference_zero_shot")
+    @app.get("/")
+    async def index():
+        from cosyvoice_tpu.serving.web_page import render
 
-    @app.post("/inference_cross_lingual")
-    async def cross_lingual(tts_text: str = Form(), prompt_wav: UploadFile = None):
-        raw = await prompt_wav.read()
-        wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
-        return stream(model.inference_cross_lingual(tts_text, wav), "inference_cross_lingual")
+        return HTMLResponse(render(getattr(model, "sample_rate", 24000)))
 
-    @app.post("/inference_sft")
-    async def sft(tts_text: str = Form(), spk_id: str = Form()):
-        return stream(model.inference_sft(tts_text, spk_id), "inference_sft")
+    async def handle(request: Request, endpoint: str):
+        """Both protocols: reference-style multipart form with a `prompt_wav`
+        file (runtime/python/fastapi/server.py:40-95) and the JSON body used
+        by the stdlib fallback and the built-in web page."""
+        if request.headers.get("content-type", "").startswith("application/json"):
+            body = dict(await request.json())
+        else:
+            form = await request.form()
+            body = {k: v for k, v in form.items() if isinstance(v, str)}
+            up = form.get("prompt_wav")
+            if up is not None and not isinstance(up, str):
+                raw = await up.read()
+                body["prompt_audio_b64"] = base64.b64encode(raw).decode()
+        return stream(_dispatch(model, endpoint, body), endpoint)
 
-    @app.post("/inference_instruct")
-    async def instruct(tts_text: str = Form(), spk_id: str = Form(), instruct_text: str = Form()):
-        return stream(model.inference_instruct(tts_text, spk_id, instruct_text), "inference_instruct")
+    for ep in ("inference_sft", "inference_zero_shot", "inference_cross_lingual",
+               "inference_instruct", "inference_instruct2"):
+        def _make(ep=ep):
+            async def route(request: Request):
+                return await handle(request, ep)
 
-    @app.post("/inference_instruct2")
-    async def instruct2(tts_text: str = Form(), instruct_text: str = Form(), prompt_wav: UploadFile = None):
-        raw = await prompt_wav.read()
-        wav = (np.frombuffer(raw, np.int16).astype(np.float32) / 32767.0)[None, :]
-        return stream(model.inference_instruct2(tts_text, instruct_text, wav), "inference_instruct2")
+            return route
+
+        app.post(f"/{ep}")(_make())
 
     return app
 

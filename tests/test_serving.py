@@ -94,6 +94,19 @@ class TestHTTPServing:
         conn.request("GET", "/nope")
         assert conn.getresponse().status == 404
 
+    def test_index_web_page(self, http_srv):
+        conn = http.client.HTTPConnection("127.0.0.1", 50911)
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        page = resp.read().decode()
+        assert "<!doctype html>" in page
+        # page drives every public endpoint and embeds the model sample rate
+        for ep in ("inference_zero_shot", "inference_cross_lingual",
+                   "inference_instruct2", "inference_sft", "inference_instruct"):
+            assert ep in page
+        assert "const SR = 24000" in page
+
 
 class TestGRPCServing:
     def test_inference_stream(self, grpc_srv):
