@@ -39,6 +39,12 @@ class Qwen2Config:
     max_cache_len: int = 4096
     dtype: Any = jnp.bfloat16
     quant: Any = False  # weight-only quant: False | True/"int8" | "int4" (ops/quant.py)
+    # sequence-parallel training (GSPMD): PartitionSpec axis names for the
+    # [B, T, C] hidden states between layers, e.g. ("dp", "tp", None) shards
+    # the sequence over the tp axis (Megatron-SP role — XLA inserts the
+    # gather/scatter around attention). Caller must run the step inside
+    # jax.sharding.use_mesh(mesh). None = no constraint.
+    act_spec: Any = None
 
 
 class RMSNorm(nn.Module):
@@ -406,6 +412,13 @@ class Qwen2Model(nn.Module):
         x = embeds.astype(self.cfg.dtype)
         for layer in self.layers:
             x, _ = layer(x, cos, sin, bias)
+            if self.cfg.act_spec is not None:
+                from jax.sharding import PartitionSpec
+
+                try:
+                    x = jax.lax.with_sharding_constraint(x, PartitionSpec(*self.cfg.act_spec))
+                except RuntimeError:
+                    pass  # no mesh in context (param init / single-device runs)
         return self.norm(x)
 
     def prefill(self, embeds, true_len, cache):

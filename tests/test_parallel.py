@@ -124,3 +124,69 @@ class TestMultichip:
             fs_params, fs_opt, m = step2(fs_params, fs_opt, fs_batch, jnp.asarray(0))
         assert np.isfinite(float(m["loss"]))
         np.testing.assert_allclose(float(m["loss"]), float(m_ref["loss"]), rtol=1e-4)
+
+
+class TestPipelineParallel:
+    def _tiny(self):
+        from cosyvoice_tpu.models.qwen2 import Qwen2Config, Qwen2Layer
+
+        cfg = Qwen2Config(hidden_size=32, num_layers=4, num_heads=2, num_kv_heads=1,
+                          head_dim=16, intermediate_size=64, vocab_size=64,
+                          max_cache_len=64, dtype=jnp.float32)
+        layer = Qwen2Layer(cfg)
+        rng = np.random.default_rng(0)
+        T = 8
+        x = jnp.asarray(rng.standard_normal((4, T, 32)), jnp.float32)
+        cos = jnp.asarray(rng.standard_normal((T, 8)), jnp.float32)
+        sin = jnp.asarray(rng.standard_normal((T, 8)), jnp.float32)
+        bias = jnp.where(jnp.tril(jnp.ones((T, T), bool)), 0.0, -1e30)[None, None].astype(jnp.float32)
+        lps = [layer.init(jax.random.PRNGKey(i), x, cos, sin, bias)["params"]
+               for i in range(cfg.num_layers)]
+        return cfg, lps, x, (cos, sin, bias)
+
+    def test_pipeline_matches_sequential(self):
+        from jax.sharding import Mesh
+        from cosyvoice_tpu.parallel.pipeline import (
+            pipeline_forward, qwen2_layer_fn, shard_stacked_layers, stack_layer_params,
+        )
+
+        cfg, lps, x, bc = self._tiny()
+        fn = qwen2_layer_fn(cfg)
+        ref = x
+        for lp in lps:
+            ref = fn(lp, ref, *bc)
+
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("pp",))
+        stacked = shard_stacked_layers(mesh, stack_layer_params(lps))
+        got = pipeline_forward(mesh, fn, stacked, x, bcast=bc, n_micro=2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def test_pipeline_grad_matches_sequential(self):
+        from jax.sharding import Mesh
+        from cosyvoice_tpu.parallel.pipeline import (
+            pipeline_forward, qwen2_layer_fn, shard_stacked_layers, stack_layer_params,
+        )
+
+        cfg, lps, x, bc = self._tiny()
+        fn = qwen2_layer_fn(cfg)
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("pp",))
+        stacked_host = stack_layer_params(lps)
+        stacked = shard_stacked_layers(mesh, stacked_host)
+
+        def loss_pp(sp):
+            y = pipeline_forward(mesh, fn, sp, x, bcast=bc, n_micro=2)
+            return jnp.mean(jnp.square(y))
+
+        def loss_seq(sp):
+            def one(h, lp):
+                return fn(lp, h, *bc), None
+
+            y, _ = jax.lax.scan(one, x, sp)
+            return jnp.mean(jnp.square(y))
+
+        g_pp = jax.jit(jax.grad(loss_pp))(stacked)
+        g_seq = jax.jit(jax.grad(loss_seq))(stacked_host)
+        flat_pp = jax.tree_util.tree_leaves(g_pp)
+        flat_seq = jax.tree_util.tree_leaves(g_seq)
+        for a, b in zip(flat_pp, flat_seq):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-3)
