@@ -68,22 +68,16 @@ def _sx4(v):
     return (v & 15) - 8
 
 
-def _unpack32(blk):
-    """In-kernel nibble unpack via int32 (Mosaic has no int8 vector shifts):
-    returns (lo, hi) signed int32 planes of a packed int8 block. The low
-    nibble is stored offset-binary (q+8) so decoding is and+sub; the high
-    nibble is plain two's complement recovered by the arithmetic shift."""
-    v = blk.astype(jnp.int32)
-    lo = (v & 15) - 8
-    hi = jnp.right_shift(v, 4)  # i8->i32 kept the sign: arithmetic shift
-    return lo, hi
-
-
 def _unpack32_biased(blk):
-    """Like _unpack32 but returns the low plane UNDECODED (biased, 0..15):
-    dot(x, lo_u) - 8*sum(x) == dot(x, lo) — callers fold the -8 into one
-    [B,1] row-sum correction instead of a [half, O] elementwise sub, which
-    removes the largest remaining VPU op from the unpack hot loop."""
+    """In-kernel nibble unpack via int32 (Mosaic has no int8 vector shifts).
+
+    Returns (lo_u, hi): the high plane signed (two's complement, recovered
+    by the arithmetic shift — i8->i32 kept the sign) and the low plane
+    UNDECODED (offset-binary, 0..15, stored as q+8 by
+    quantize_tensor_int4_blocked): dot(x, lo_u) - 8*sum(x) == dot(x, q_lo),
+    so callers fold the -8 into one [B,1] row-sum correction instead of a
+    [half, O] elementwise sub — the unpack hot loop is i8->i32, and, shift
+    + two bf16 converts only."""
     v = blk.astype(jnp.int32)
     return v & 15, jnp.right_shift(v, 4)
 

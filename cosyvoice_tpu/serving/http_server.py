@@ -42,14 +42,29 @@ def _metrics(model) -> dict:
 
 _REQUEST_COUNTS: dict = {}
 _AUDIO_SECONDS = [0.0]
+_METRICS_LOCK = threading.Lock()  # handler threads update these concurrently
 
 
 def _count(endpoint: str):
-    _REQUEST_COUNTS[endpoint] = _REQUEST_COUNTS.get(endpoint, 0) + 1
+    with _METRICS_LOCK:
+        _REQUEST_COUNTS[endpoint] = _REQUEST_COUNTS.get(endpoint, 0) + 1
+
+
+def _add_audio(seconds: float):
+    with _METRICS_LOCK:
+        _AUDIO_SECONDS[0] += seconds
+
+
+def _truthy(v) -> bool:
+    """Multipart form values arrive as strings: 'false'/'0' must not enable
+    streaming the way bool('false') would."""
+    if isinstance(v, str):
+        return v.strip().lower() in ("1", "true", "yes", "on")
+    return bool(v)
 
 
 def _dispatch(model, endpoint: str, body: dict):
-    stream = bool(body.get("stream", False))
+    stream = _truthy(body.get("stream", False))
     if endpoint == "inference_sft":
         return model.inference_sft(body["tts_text"], body["spk_id"], stream=stream)
     if endpoint == "inference_zero_shot":
@@ -109,7 +124,7 @@ def make_stdlib_server(model, host: str = "0.0.0.0", port: int = 50000) -> Threa
             self.end_headers()
             sr = getattr(model, "sample_rate", 24000)
             for out in gen:
-                _AUDIO_SECONDS[0] += out["tts_speech"].shape[1] / sr
+                _add_audio(out["tts_speech"].shape[1] / sr)
                 chunk = _pcm(out["tts_speech"])
                 self.wfile.write(f"{len(chunk):x}\r\n".encode())
                 self.wfile.write(chunk)
@@ -134,7 +149,7 @@ def make_fastapi_app(model):
 
         def body():
             for out in gen:
-                _AUDIO_SECONDS[0] += out["tts_speech"].shape[1] / sr
+                _add_audio(out["tts_speech"].shape[1] / sr)
                 yield _pcm(out["tts_speech"])
 
         return StreamingResponse(body())
@@ -152,17 +167,24 @@ def make_fastapi_app(model):
     async def handle(request: Request, endpoint: str):
         """Both protocols: reference-style multipart form with a `prompt_wav`
         file (runtime/python/fastapi/server.py:40-95) and the JSON body used
-        by the stdlib fallback and the built-in web page."""
-        if request.headers.get("content-type", "").startswith("application/json"):
-            body = dict(await request.json())
-        else:
-            form = await request.form()
-            body = {k: v for k, v in form.items() if isinstance(v, str)}
-            up = form.get("prompt_wav")
-            if up is not None and not isinstance(up, str):
-                raw = await up.read()
-                body["prompt_audio_b64"] = base64.b64encode(raw).decode()
-        return stream(_dispatch(model, endpoint, body), endpoint)
+        by the stdlib fallback and the built-in web page. Client errors
+        (bad JSON, missing fields) map to 400, like the stdlib server."""
+        from fastapi.responses import JSONResponse
+
+        try:
+            if request.headers.get("content-type", "").startswith("application/json"):
+                body = dict(await request.json())
+            else:
+                form = await request.form()
+                body = {k: v for k, v in form.items() if isinstance(v, str)}
+                up = form.get("prompt_wav")
+                if up is not None and not isinstance(up, str):
+                    raw = await up.read()
+                    body["prompt_audio_b64"] = base64.b64encode(raw).decode()
+            gen = _dispatch(model, endpoint, body)
+        except Exception as e:  # noqa: BLE001 — report the bad request, not a 500
+            return JSONResponse({"error": str(e)}, status_code=400)
+        return stream(gen, endpoint)
 
     for ep in ("inference_sft", "inference_zero_shot", "inference_cross_lingual",
                "inference_instruct", "inference_instruct2"):

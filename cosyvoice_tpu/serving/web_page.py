@@ -72,8 +72,14 @@ async function fileToB64pcm(file) {
   const out = (await oac.startRendering()).getChannelData(0);
   const i16 = new Int16Array(out.length);
   for (let i = 0; i < out.length; i++) i16[i] = Math.max(-1, Math.min(1, out[i])) * 32767;
-  return btoa(String.fromCharCode(...new Uint8Array(i16.buffer)));
+  // chunked: spreading >~65k args into fromCharCode blows the JS stack
+  const bytes = new Uint8Array(i16.buffer);
+  let bin = "";
+  for (let i = 0; i < bytes.length; i += 0x8000)
+    bin += String.fromCharCode.apply(null, bytes.subarray(i, i + 0x8000));
+  return btoa(bin);
 }
+let AC = null;  // one AudioContext for the page (Chrome caps live contexts)
 $("go").onclick = async () => {
   const mode = $("mode").value, body = { tts_text: $("tts_text").value, stream: $("stream").checked };
   const n = needs[mode];
@@ -90,9 +96,13 @@ $("go").onclick = async () => {
     $("go").disabled = true; $("stop").disabled = false;
     $("status").textContent = "synthesizing...";
     const t0 = performance.now();
-    const resp = await fetch("/" + mode, { method: "POST", body: JSON.stringify(body), signal: ctrl.signal });
+    const resp = await fetch("/" + mode, {
+      method: "POST", body: JSON.stringify(body), signal: ctrl.signal,
+      headers: { "Content-Type": "application/json" },
+    });
     if (!resp.ok) throw new Error(await resp.text());
-    const ac = new AudioContext({ sampleRate: SR });
+    if (!AC) AC = new AudioContext({ sampleRate: SR });
+    const ac = AC;
     let playhead = ac.currentTime + 0.1, total = 0, first = null, carry = new Uint8Array(0);
     const reader = resp.body.getReader();
     while (true) {

@@ -94,6 +94,14 @@ class TestHTTPServing:
         conn.request("GET", "/nope")
         assert conn.getresponse().status == 404
 
+    def test_stream_flag_string_coercion(self):
+        """Multipart form values are strings: 'false'/'0' must disable
+        streaming (bool('false') is True — the trap _truthy avoids)."""
+        from cosyvoice_tpu.serving.http_server import _truthy
+
+        assert _truthy(True) and _truthy("true") and _truthy("1") and _truthy("Yes")
+        assert not _truthy(False) and not _truthy("false") and not _truthy("0") and not _truthy("")
+
     def test_index_web_page(self, http_srv):
         conn = http.client.HTTPConnection("127.0.0.1", 50911)
         conn.request("GET", "/")
