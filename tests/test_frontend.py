@@ -106,3 +106,73 @@ class TestFrontendPipeline:
         fe.save_spkinfo(str(tmp_path / "spk2info.pkl"))
         out = fe.frontend_zero_shot("hello.", "", prompt, zero_shot_spk_id="spk1")
         assert "flow_embedding" in out and "text_tokens" in out
+
+
+class TestReferenceGolden:
+    """Golden parity against the reference's actual frontend_utils (imported
+    from /root/reference as the test oracle, not vendored)."""
+
+    def _ref(self):
+        import sys
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        import cosyvoice.utils.frontend_utils as fu
+
+        return fu
+
+    def test_split_paragraph_matches_reference(self):
+        import pytest as _pytest
+
+        try:
+            fu = self._ref()
+        except Exception:  # pragma: no cover - reference snapshot absent
+            _pytest.skip("reference repo unavailable")
+        from cosyvoice_tpu.frontend.text_normalize import split_paragraph
+
+        tok = lambda s: s.split()
+        cases_en = [
+            "One. Two three four. " * 30,
+            "Short. " + "word " * 90 + ". Tail sentence here. Another one follows!",
+            "No trailing punct at all " + "pad " * 70,
+            "A? B! C; D: E. " * 12,
+        ]
+        for text in cases_en:
+            ref = fu.split_paragraph(text, tok, "en", token_max_n=80, token_min_n=60, merge_len=20,
+                                     comma_split=False)
+            got = split_paragraph(text, tok, "en", token_max_n=80, token_min_n=60, merge_len=20,
+                                  comma_split=False)
+            assert got == ref, (text[:50], got, ref)
+
+        ztok = lambda s: list(s)
+        cases_zh = [
+            "今天天气真好。我们一起去公园散步吧！你觉得怎么样？" * 8,
+            "第一句。第二句；第三句：第四句、结束。" * 10,
+            "短句。" + "很长的句子内容" * 30 + "。结尾了。",
+        ]
+        for text in cases_zh:
+            ref = fu.split_paragraph(text, ztok, "zh", token_max_n=80, token_min_n=60, merge_len=20,
+                                     comma_split=False)
+            got = split_paragraph(text, ztok, "zh", token_max_n=80, token_min_n=60, merge_len=20,
+                                  comma_split=False)
+            assert got == ref, (text[:30], got, ref)
+
+    def test_replace_utils_match_reference(self):
+        import pytest as _pytest
+
+        try:
+            fu = self._ref()
+        except Exception:  # pragma: no cover
+            _pytest.skip("reference repo unavailable")
+        from cosyvoice_tpu.frontend import text_normalize as tn
+
+        samples = [
+            "hello   world\tfoo", "中文 测试 空格", "a  b", "ok",
+            "前面中文 english words 后面中文",
+        ]
+        for s in samples:
+            assert tn.replace_blank(s) == fu.replace_blank(s), s
+        for s in ["abc", "中文", "mix中en文", "", "123"]:
+            assert tn.contains_chinese(s) == fu.contains_chinese(s), s
+        for s in ["...", "。！？", "hello.", "，", " , . !"]:
+            assert tn.is_only_punctuation(s) == fu.is_only_punctuation(s), s
