@@ -333,3 +333,44 @@ class TestFlowAccum:
         p2, _, m2 = step2(params, opt.init(params), batch, K(1), False)
         assert np.isfinite(float(m2["loss"]))
         np.testing.assert_allclose(float(m2["loss"]), np.mean(losses), rtol=1e-4)
+
+
+class TestLossReferenceGolden:
+    def test_label_smoothing_ce_matches_reference(self):
+        """lm_ce_loss vs the reference LabelSmoothingLoss (KL against the
+        smoothed distribution, per-token normalization, ignore padding),
+        at smoothing 0 (shipped configs) and a nonzero knob."""
+        import sys
+
+        import pytest as _pytest
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        try:
+            import torch
+            from cosyvoice.transformer.label_smoothing_loss import LabelSmoothingLoss
+        except Exception:  # pragma: no cover
+            _pytest.skip("reference/torch unavailable")
+        from cosyvoice_tpu.train.losses import IGNORE_ID, lm_ce_loss
+
+        rng = np.random.default_rng(3)
+        B, T, V = 2, 12, 40
+        logits = rng.standard_normal((B, T, V)).astype(np.float32)
+        targets = rng.integers(0, V, (B, T)).astype(np.int64)
+        targets[0, 9:] = IGNORE_ID
+        targets[1, 5:] = IGNORE_ID
+
+        for smoothing in (0.0, 0.1):
+            ref_mod = LabelSmoothingLoss(V, padding_idx=IGNORE_ID, smoothing=smoothing,
+                                         normalize_length=True)
+            ref = float(ref_mod(torch.from_numpy(logits), torch.from_numpy(targets)))
+            got, _acc = lm_ce_loss(jnp.asarray(logits), jnp.asarray(targets.astype(np.int32)),
+                                   smoothing=smoothing)
+            # the reference's KLDivLoss includes the smoothed target's
+            # (negative) entropy — a per-token constant with zero gradient
+            # that ours omits; identical at smoothing=0
+            conf, sm = 1.0 - smoothing, smoothing / (V - 1)
+            const = (conf * np.log(conf) if conf > 0 else 0.0) + (
+                (V - 1) * sm * np.log(sm) if sm > 0 else 0.0
+            )
+            np.testing.assert_allclose(float(got) + const, ref, rtol=1e-5, atol=1e-5)
