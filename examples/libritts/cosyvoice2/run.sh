@@ -13,6 +13,13 @@ data_dir=${DATA_DIR:-/data/tts/openslr/libritts}   # LibriTTS extracted here
 pretrained_model_dir=${PRETRAINED:-../../../pretrained_models/CosyVoice2-0.5B}
 parts="train-clean-100 train-clean-360 train-other-500 dev-clean dev-other test-clean test-other"
 
+if [ ${stage} -le -1 ] && [ ${stop_stage} -ge -1 ]; then
+  echo "Stage -1: download LibriTTS from OpenSLR"
+  for x in $parts; do
+    ../local/download_and_untar.sh ${data_dir} www.openslr.org/resources/60 $x
+  done
+fi
+
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   echo "Stage 0: prepare wav.scp/text/utt2spk/spk2utt"
   for x in $parts; do
