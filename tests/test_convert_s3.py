@@ -124,3 +124,48 @@ class TestS3Conversion:
             # TreeFiller's unfilled-leaves assert on the empty template is
             # expected — normalization itself passed
             pass
+
+
+class _TorchS3V1(torch.nn.Module):
+    """v1 layout: whisper encoder at 50 Hz (no second downsample) + euclidean
+    VQ codebook (speech_tokenizer_v1.onnx role)."""
+
+    def __init__(self, n_mels=16, d=32, h=4, n_blocks=2, vocab=64):
+        super().__init__()
+        self.conv1 = torch.nn.Conv1d(n_mels, d, 3, padding=1)
+        self.conv2 = torch.nn.Conv1d(d, d, 3, stride=2, padding=1)
+        self.blocks = torch.nn.ModuleList([_TorchBlock(d, h) for _ in range(n_blocks)])
+        self.ln_post = torch.nn.LayerNorm(d)
+        self.quantizer = torch.nn.Module()
+        self.quantizer._codebook = torch.nn.Module()
+        self.quantizer._codebook.embed = torch.nn.Parameter(torch.randn(vocab, d))
+
+    def forward(self, mel):
+        x = torch.nn.functional.gelu(self.conv1(mel.permute(0, 2, 1)))
+        x = torch.nn.functional.gelu(self.conv2(x)).permute(0, 2, 1)
+        x = x + torch.from_numpy(sinusoids(x.shape[1], x.shape[2]))
+        for b in self.blocks:
+            x = b(x)
+        x = self.ln_post(x)
+        cb = self.quantizer._codebook.embed
+        d2 = (x * x).sum(-1, keepdim=True) - 2 * x @ cb.T + (cb * cb).sum(-1)[None, None]
+        return d2.argmin(-1).to(torch.int32)
+
+
+class TestS3V1Conversion:
+    def test_activation_match_vq(self):
+        torch.manual_seed(1)
+        tm = _TorchS3V1().eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        cfg = S3TokenizerConfig(n_mels=16, d_model=32, num_heads=4, num_layers=2,
+                                use_fsq=False, codebook_size=64, token_rate_div=1)
+        s3 = S3Tokenizer(cfg)
+        rng = np.random.default_rng(2)
+        mel = rng.standard_normal((1, 24, 16)).astype(np.float32)
+        template = s3.init(jax.random.PRNGKey(0), jnp.asarray(mel), jnp.asarray([24]))
+        params = convert_s3_tokenizer(sd, template)
+        with torch.no_grad():
+            ref_tokens = tm(torch.from_numpy(mel))
+        tokens, tok_len = s3.apply(params, jnp.asarray(mel), jnp.asarray([24]))
+        assert int(tok_len[0]) == 12  # 24 mel -> 12 (conv2 only; 50 Hz)
+        np.testing.assert_array_equal(np.asarray(tokens)[0, :12], ref_tokens.numpy()[0, :12])
