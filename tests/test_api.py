@@ -150,3 +150,45 @@ class TestV1API:
         outs = list(model.inference_zero_shot("hello there world", "a prompt", prompt))
         assert len(outs) >= 1
         assert all(o["tts_speech"].shape[1] > 0 for o in outs)
+
+
+class TestV3API:
+    @pytest.fixture(scope="class")
+    def api3(self):
+        from cosyvoice_tpu.models.dit import DiTConfig
+        from cosyvoice_tpu.runtime.api import CosyVoice3
+
+        lm_cfg = LMConfig(
+            speech_token_size=6561, num_special_head=200, special_in_speech_table=True,
+            block_size=8,
+            qwen=Qwen2Config(
+                hidden_size=32, num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+                intermediate_size=64, vocab_size=300, max_cache_len=512, dtype=jnp.float32,
+            ),
+        )
+        flow_cfg = FlowConfig(
+            input_size=80, vocab_size=6561, chunk_size=5,
+            encoder_type="dit_prelookahead", estimator_type="dit", dit_lookahead_channels=32,
+            dit=DiTConfig(dim=32, depth=1, heads=2, dim_head=8, static_chunk_size=10, freq_embed_dim=16),
+            cfm=CFMConfig(n_timesteps=2),
+        )
+        hift_cfg = HiFTConfig(
+            base_channels=32, causal=True,
+            resblock_kernel_sizes=(3,), resblock_dilations=((1,),),
+            source_resblock_kernel_sizes=(7, 7, 11), source_resblock_dilations=((1,), (1,), (1,)),
+        )
+        return CosyVoice3(lm_cfg=lm_cfg, flow_cfg=flow_cfg, hift_cfg=hift_cfg)
+
+    def test_v3_zero_shot_offline(self, api3):
+        api3.engine.token_hop_len = 5
+        rng = np.random.default_rng(0)
+        prompt_wav = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+        outs = list(api3.inference_zero_shot("Hello from version three.", "A prompt.", prompt_wav))
+        assert len(outs) >= 1
+        assert all(o["tts_speech"].shape[0] == 1 for o in outs)
+
+    def test_v3_instruct2(self, api3):
+        rng = np.random.default_rng(1)
+        prompt_wav = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+        outs = list(api3.inference_instruct2("Read this.", "Speak warmly", prompt_wav))
+        assert outs and outs[0]["tts_speech"].shape[1] > 0
