@@ -157,6 +157,18 @@ def main():
     q4_params = to_default_device(q4_params)
     lm_dev_int4p_s = lm_block_time(q4_lm, q4_params, n_tokens)
     print(f"# lm_dev_int4p {lm_dev_int4p_s:.4f}", flush=True)
+    # A/B the shift-free unpack scheme (trace-time env; a FRESH Qwen2LM gets
+    # fresh jit wrappers so both schemes are measured in one run)
+    os.environ["COSY_INT4_UNPACK"] = "fold"
+    try:
+        q4f_lm = Qwen2LM(q4_lm.cfg)
+        lm_dev_int4p_fold_s = lm_block_time(q4f_lm, q4_params, n_tokens)
+    except Exception as e:  # noqa: BLE001 — experimental kernel path
+        print(f"# int4p fold scheme failed: {type(e).__name__}: {e}", flush=True)
+        lm_dev_int4p_fold_s = -1.0
+    finally:
+        os.environ.pop("COSY_INT4_UNPACK", None)
+    print(f"# lm_dev_int4p_fold {lm_dev_int4p_fold_s:.4f}", flush=True)
     del q4_params
 
     # ---- token2wav: fused offline program (flow + mel slice + vocoder) ----
@@ -301,6 +313,7 @@ def main():
                 "lm_device_s": round(lm_dev_s, 4),
                 "lm_device_s_int8": round(lm_dev_int8_s, 4),
                 "lm_device_s_int4p": round(lm_dev_int4p_s, 4),
+                "lm_device_s_int4p_fold": round(lm_dev_int4p_fold_s, 4),
                 "rtf_int4p_lm": round((lm_dev_int4p_s + t2w_dev_s) / audio_seconds, 4),
                 "t2w_device_s": round(t2w_dev_s, 4),
                 "first_chunk_ms_device": round(first_chunk_dev_ms, 1),
