@@ -47,6 +47,25 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+    # tunnel watchdog: a dead axon tunnel makes jax.devices() hang FOREVER
+    # (the client redials indefinitely); emit a diagnostic JSON line instead
+    # of hanging the driver's bench step
+    import threading as _threading
+
+    probe_done = _threading.Event()
+
+    def _probe():
+        jax.devices()
+        probe_done.set()
+
+    _threading.Thread(target=_probe, daemon=True).start()
+    if not probe_done.wait(timeout=float(os.environ.get("COSY_BENCH_PROBE_S", "300"))):
+        print(json.dumps({
+            "metric": "offline_rtf", "value": -1.0, "unit": "ratio", "vs_baseline": 0.0,
+            "error": "tpu tunnel unreachable (jax.devices() hung past probe timeout)",
+        }))
+        os._exit(2)
+
     import jax.numpy as jnp
 
     from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
