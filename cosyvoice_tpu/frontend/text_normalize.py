@@ -146,6 +146,11 @@ def basic_normalize(text: str, tokenize: Callable[[str], list], split: bool = Tr
     if not text:
         return [] if split else text
     if contains_chinese(text):
+        # the wetext slot (cli/frontend.py:66-70): native zh verbalization of
+        # digits/dates/percent/currency before the regex cleanup chain
+        from cosyvoice_tpu.frontend.zh_tn import normalize_zh
+
+        text = normalize_zh(text)
         text = text.replace("\n", "")
         text = replace_blank(text)
         text = replace_corner_mark(text)

@@ -176,3 +176,42 @@ class TestReferenceGolden:
             assert tn.contains_chinese(s) == fu.contains_chinese(s), s
         for s in ["...", "。！？", "hello.", "，", " , . !"]:
             assert tn.is_only_punctuation(s) == fu.is_only_punctuation(s), s
+
+
+class TestZhTN:
+    def test_cardinals(self):
+        from cosyvoice_tpu.frontend.zh_tn import read_cardinal
+
+        assert read_cardinal("0") == "零"
+        assert read_cardinal("7") == "七"
+        assert read_cardinal("15") == "十五"
+        assert read_cardinal("42") == "四十二"
+        assert read_cardinal("105") == "一百零五"
+        assert read_cardinal("1000") == "一千"
+        assert read_cardinal("10005") == "一万零五"
+        assert read_cardinal("12345") == "一万二千三百四十五"
+        assert read_cardinal("100000000") == "一亿"
+        assert read_cardinal("203040506") == "二亿零三百零四万零五百零六"
+
+    def test_numbers_and_patterns(self):
+        from cosyvoice_tpu.frontend.zh_tn import normalize_zh
+
+        assert normalize_zh("增长35.5%") == "增长百分之三十五点五"
+        assert normalize_zh("价格是12.5元") == "价格是十二点五元"
+        assert normalize_zh("¥99") == "九十九元"
+        assert normalize_zh("2024年3月5日开会") == "二零二四年三月五日开会"
+        assert normalize_zh("下午3:15见") == "下午三点十五分见"
+        assert normalize_zh("占3/4") == "占四分之三"
+        assert normalize_zh("3-5个苹果") == "三到五个苹果"
+        assert normalize_zh("电话13812345678") == "电话幺三八幺二三四五六七八"
+        assert normalize_zh("温度-3度") == "温度负三度"
+        assert normalize_zh("没有数字。") == "没有数字。"
+
+    def test_wired_into_basic_normalize(self):
+        from cosyvoice_tpu.frontend.text_normalize import basic_normalize
+
+        texts = basic_normalize("今天涨了12%。", lambda s: list(s))
+        assert texts and "百分之十二" in texts[0]
+        # en branch unaffected
+        texts = basic_normalize("It rose 12 percent today.", lambda s: s.split())
+        assert "percent" in texts[0]
