@@ -375,15 +375,26 @@ class CosyVoice3(CosyVoice2):
         )
 
 
+def detect_model_version(model_dir: str) -> int:
+    """Model generation from dir contents: config.json 'version' key, else
+    the reference's yaml-NAME convention (cli/cosyvoice.py:231-236 picks the
+    class by which of cosyvoice{,2,3}.yaml exists). Default 2."""
+    cfg_path = os.path.join(model_dir, "config.json") if model_dir else ""
+    if cfg_path and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            return json.load(f).get("version", 2)
+    if model_dir:
+        for v, name in ((3, "cosyvoice3.yaml"), (2, "cosyvoice2.yaml"), (1, "cosyvoice.yaml")):
+            if os.path.exists(os.path.join(model_dir, name)):
+                return v
+    return 2
+
+
 class AutoModel:
     """Pick the model class from the model dir contents (cosyvoice.py:228-238)."""
 
     def __new__(cls, model_dir: str = "", **kwargs):
-        cfg_path = os.path.join(model_dir, "config.json") if model_dir else ""
-        version = 2
-        if cfg_path and os.path.exists(cfg_path):
-            with open(cfg_path) as f:
-                version = json.load(f).get("version", 2)
+        version = detect_model_version(model_dir)
         if version == 1:
             return CosyVoice(model_dir, **kwargs)
         if version == 2:

@@ -192,3 +192,24 @@ class TestV3API:
         prompt_wav = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
         outs = list(api3.inference_instruct2("Read this.", "Speak warmly", prompt_wav))
         assert outs and outs[0]["tts_speech"].shape[1] > 0
+
+
+class TestAutoModelDetection:
+    def test_version_from_config_json(self, tmp_path):
+        import json
+
+        from cosyvoice_tpu.runtime.api import detect_model_version
+
+        (tmp_path / "config.json").write_text(json.dumps({"version": 3}))
+        assert detect_model_version(str(tmp_path)) == 3
+
+    def test_version_from_reference_yaml_names(self, tmp_path):
+        from cosyvoice_tpu.runtime.api import detect_model_version
+
+        assert detect_model_version(str(tmp_path)) == 2  # default
+        (tmp_path / "cosyvoice.yaml").write_text("")
+        assert detect_model_version(str(tmp_path)) == 1
+        (tmp_path / "cosyvoice2.yaml").write_text("")
+        assert detect_model_version(str(tmp_path)) == 2
+        (tmp_path / "cosyvoice3.yaml").write_text("")
+        assert detect_model_version(str(tmp_path)) == 3
