@@ -50,6 +50,16 @@ class CosyVoiceFrontEnd:
         if spk2info_path and os.path.exists(spk2info_path):
             with open(spk2info_path, "rb") as f:
                 self.spk2info = pickle.load(f)
+        elif spk2info_path and os.path.exists(spk2info_path[: -len(".pkl")] + ".pt"):
+            # migration: the reference caches speakers as a torch pickle
+            # (cli/cosyvoice.py:40-53 spk2info.pt); load and convert to numpy
+            import torch
+
+            raw = torch.load(spk2info_path[: -len(".pkl")] + ".pt", map_location="cpu")
+            self.spk2info = {
+                spk: {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in info.items()}
+                for spk, info in raw.items()
+            }
 
         self._jit_tokenize = jax.jit(
             lambda p, mel, ml: self.speech_tokenizer.apply(p, mel, ml)

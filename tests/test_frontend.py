@@ -215,3 +215,25 @@ class TestZhTN:
         # en branch unaffected
         texts = basic_normalize("It rose 12 percent today.", lambda s: s.split())
         assert "percent" in texts[0]
+
+
+class TestSpkInfoMigration:
+    def test_loads_reference_torch_spk2info(self, tmp_path):
+        """A reference-converted model dir carries spk2info.pt (torch
+        pickle); the frontend must load it when no .pkl exists."""
+        import torch
+
+        from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+
+        raw = {
+            "spkA": {
+                "flow_embedding": torch.randn(1, 192),
+                "llm_prompt_speech_token": torch.randint(0, 100, (1, 8)),
+                "prompt_text": torch.randint(0, 100, (1, 4)),
+            }
+        }
+        torch.save(raw, tmp_path / "spk2info.pt")
+        fe = CosyVoiceFrontEnd(spk2info_path=str(tmp_path / "spk2info.pkl"))
+        assert "spkA" in fe.spk2info
+        emb = fe.spk2info["spkA"]["flow_embedding"]
+        assert not hasattr(emb, "detach") and emb.shape == (1, 192)
