@@ -324,11 +324,13 @@ def main():
         json.dumps(
             {
                 "metric": "offline_rtf",
-                "value": round(rtf_dev, 4),
+                # headline = the production serving config (int8 weight-only
+                # LM + fused t2w), matching the baseline's TRT-LLM int8 role
+                "value": round(rtf_int8, 4),
                 "unit": "ratio",
-                "vs_baseline": round(baseline / rtf_dev, 4),
-                "rtf_int8_lm": round(rtf_int8, 4),
-                "vs_baseline_int8": round(baseline / rtf_int8, 4),
+                "vs_baseline": round(baseline / rtf_int8, 4),
+                "rtf_bf16_lm": round(rtf_dev, 4),
+                "vs_baseline_bf16": round(baseline / rtf_dev, 4),
                 "lm_device_s": round(lm_dev_s, 4),
                 "lm_device_s_int8": round(lm_dev_int8_s, 4),
                 "lm_device_s_int4p": round(lm_dev_int4p_s, 4),
@@ -345,9 +347,10 @@ def main():
                 "compile_s": round(compile_s, 1),
                 "init_s": round(init_s, 1),
                 "backend": jax.default_backend(),
-                "note": "value = device-resident bf16 timing (sync via value fetch; "
-                        "block_until_ready is a no-op through this rig's TPU tunnel); "
-                        "*_wall numbers include the ~30-90ms/roundtrip tunnel",
+                "note": "value = device-resident int8-LM timing, the production "
+                        "serving config (sync via value fetch; block_until_ready "
+                        "is a no-op through this rig's TPU tunnel); *_wall numbers "
+                        "include the ~30-90ms/roundtrip tunnel",
             }
         )
     )
