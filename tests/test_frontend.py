@@ -237,3 +237,52 @@ class TestSpkInfoMigration:
         assert "spkA" in fe.spk2info
         emb = fe.spk2info["spkA"]["flow_embedding"]
         assert not hasattr(emb, "detach") and emb.shape == (1, 192)
+
+
+class TestZhCardinalProperty:
+    @staticmethod
+    def _ref_read(n: int) -> str:
+        """Independent spec: positional digit walk with explicit zero-run
+        compression, 4-digit groups under 万/亿."""
+        D = "零一二三四五六七八九"
+        U = ["", "十", "百", "千"]
+        G = ["", "万", "亿", "万亿"]
+        if n == 0:
+            return "零"
+
+        def group(g):  # 0 < g < 10000
+            s, zero = "", False
+            for pos in range(3, -1, -1):
+                d = (g // 10**pos) % 10
+                if d:
+                    if zero:
+                        s += "零"
+                        zero = False
+                    s += D[d] + U[pos]
+                elif s:
+                    zero = True
+            return s
+
+        parts, gi, out = [], 0, []
+        while n:
+            parts.append(n % 10000)
+            n //= 10000
+        for gi in range(len(parts) - 1, -1, -1):
+            g = parts[gi]
+            if g == 0:
+                continue
+            if out and g < 1000:
+                out.append("零")
+            out.append(group(g) + G[gi])
+        s = "".join(out)
+        return s[1:] if s.startswith("一十") else s
+
+    def test_matches_independent_spec(self):
+        from cosyvoice_tpu.frontend.zh_tn import read_cardinal
+
+        rng = np.random.default_rng(0)
+        cases = list(range(0, 130)) + [
+            int(x) for x in rng.integers(0, 10**12, 500)
+        ] + [10**k for k in range(1, 12)] + [10**k - 1 for k in range(1, 12)]
+        for n in cases:
+            assert read_cardinal(str(n)) == self._ref_read(n), n
