@@ -213,3 +213,20 @@ class TestAutoModelDetection:
         assert detect_model_version(str(tmp_path)) == 2
         (tmp_path / "cosyvoice3.yaml").write_text("")
         assert detect_model_version(str(tmp_path)) == 3
+
+
+class TestDeterminism:
+    def test_same_seed_identical_audio(self, api):
+        """Two runs with the same engine seed must produce bit-identical
+        audio (fixed CFM noise buffer + seeded RAS sampling + deterministic
+        vocoder noise — the reference needs the same hooks, SURVEY §7.3)."""
+        rng = np.random.default_rng(5)
+        prompt_wav = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+
+        def run():
+            outs = list(api.inference_zero_shot("Determinism check sentence.", "A prompt.", prompt_wav))
+            return np.concatenate([o["tts_speech"] for o in outs], axis=1)
+
+        a, b = run(), run()
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
