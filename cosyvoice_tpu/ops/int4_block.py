@@ -7,8 +7,10 @@ decode at ~31.6 us/layer vs a 10.5 us/layer HBM floor. Fusing the entire
 step into one kernel removes 47 of the 48 call launches and ALL inter-layer
 XLA ops; measured 25.1 us/layer (0.60 ms/step) — int8-XLA speed (24.6
 us/layer) at HALF the weight bytes. The remaining gap to the HBM floor is
-VPU nibble-unpack throughput (~17 M weights/layer x shift/and/sub), not
-bandwidth or launches.
+VPU nibble-unpack throughput (~17 M weights/layer), not bandwidth or
+launches; the offset-binary low nibble + row-sum bias folding (and the
+experimental COSY_INT4_UNPACK=fold raw-byte scheme) in ops/int4_fused.py
+attack exactly that term.
 
 - grid = (num_layers, J); each layer streams its weights double-buffered by
   the Pallas pipeline while the previous cell computes, and runs norm ->
