@@ -256,14 +256,35 @@ class Qwen2Attention(nn.Module):
             k_all, v_all = k, v
             new_cache = None
 
-        # GQA via grouped einsum — never materializes the head-repeated KV
-        # (a 7x HBM blowup per decode step with repeat)
-        rep = c.num_heads // c.num_kv_heads
-        qg = q.reshape(B, S, c.num_kv_heads, rep, c.head_dim)
-        scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k_all).astype(jnp.float32) / np.sqrt(c.head_dim)
-        scores = scores + mask_bias[:, None]  # bias [B,1,S,T] -> [B,1,1,S,T]
-        attn = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
-        out = jnp.einsum("bgrst,btgd->bsgrd", attn, v_all).reshape(B, S, c.num_heads * c.head_dim)
+        out = None
+        if cache is not None and S == 1:
+            # decode step: route through the Pallas flash-decode kernel when
+            # eligible — HBM reads proportional to the LIVE sequence length
+            # (ceil((cur+1)/BLK) blocks) instead of streaming the full arena
+            # through the masked einsum every step (ops/decode_attention.py)
+            from cosyvoice_tpu.ops.decode_attention import (
+                flash_decode_wanted,
+                gqa_decode_attention,
+            )
+
+            interp = flash_decode_wanted(k_all.shape[1], c.num_kv_heads * c.head_dim)
+            if interp is not None:
+                cur = (
+                    jnp.broadcast_to(kv_write_pos, (B,))
+                    if jnp.ndim(kv_write_pos) == 0
+                    else kv_write_pos
+                )
+                out = gqa_decode_attention(q[:, 0], k_all, v_all, cur, interpret=interp)
+                out = out.reshape(B, S, c.num_heads * c.head_dim)
+        if out is None:
+            # GQA via grouped einsum — never materializes the head-repeated KV
+            # (a 7x HBM blowup per decode step with repeat)
+            rep = c.num_heads // c.num_kv_heads
+            qg = q.reshape(B, S, c.num_kv_heads, rep, c.head_dim)
+            scores = jnp.einsum("bsgrd,btgd->bgrst", qg, k_all).astype(jnp.float32) / np.sqrt(c.head_dim)
+            scores = scores + mask_bias[:, None]  # bias [B,1,S,T] -> [B,1,1,S,T]
+            attn = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+            out = jnp.einsum("bgrst,btgd->bsgrd", attn, v_all).reshape(B, S, c.num_heads * c.head_dim)
         if c.quant == "int4p":
             from cosyvoice_tpu.ops.int4_fused import (
                 GEMV_IN_ALIGN,

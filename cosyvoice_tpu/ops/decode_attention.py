@@ -122,6 +122,31 @@ def _decode_kernel(
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def flash_decode_wanted(T: int, F: int, block_size: int = 512):
+    """Decide whether the decode step should route attention through the
+    Pallas flash-decode kernel instead of the masked full-arena einsum.
+
+    Returns None (use einsum) or the `interpret` flag to pass. Env
+    COSY_FLASH_DECODE: "auto" (default, on-TPU only), "0" (off), "force"
+    (on anywhere — interpret mode off-TPU, for tests)."""
+    import os
+
+    mode = os.environ.get("COSY_FLASH_DECODE", "auto")
+    if mode == "0":
+        return None
+    blk = min(block_size, T)
+    if F % 128 != 0 or T % blk != 0:
+        return None
+    if mode == "force":
+        return jax.default_backend() != "tpu"
+    if jax.default_backend() != "tpu":
+        return None
+    dev = getattr(jax.config, "jax_default_device", None)
+    if dev is not None and getattr(dev, "platform", "tpu") != "tpu":
+        return None
+    return False
+
+
 @functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
 def gqa_decode_attention(q, k_arena, v_arena, cur_len, block_size: int = 512, interpret: bool = False):
     """Single-token GQA attention against a length-masked KV arena.

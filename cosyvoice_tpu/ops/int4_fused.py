@@ -250,7 +250,7 @@ def _gemv_planes(xb, p_ref, s_ref, nb, half, n_in):
     time; see _gemv_planes_fold)."""
     import os
 
-    if os.environ.get("COSY_INT4_UNPACK", "planes") == "fold":
+    if os.environ.get("COSY_INT4_UNPACK", "fold") == "fold":
         return _gemv_planes_fold(xb, p_ref, s_ref, nb, half, n_in)
     acc = None
     for b in range(nb):
@@ -357,7 +357,7 @@ def _down_dot(blk, x_lo, x_hi):
     import os
 
     corr = -8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
-    if os.environ.get("COSY_INT4_UNPACK", "planes") == "fold":
+    if os.environ.get("COSY_INT4_UNPACK", "fold") == "fold":
         lo_u = (blk & 15).astype(jnp.bfloat16)
         x_hi16 = x_hi * jnp.bfloat16(1.0 / 16.0)
         return _dot(x_lo - x_hi16, lo_u) + _dot(x_hi16, blk.astype(jnp.bfloat16)) + corr

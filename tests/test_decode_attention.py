@@ -57,3 +57,38 @@ def test_kv_arena_write_rows():
         expect[b, pos[b]] = new[b, 0]
     got = kv_arena_write(jnp.asarray(arena), jnp.asarray(new), jnp.asarray(pos), interpret=True)
     np.testing.assert_allclose(np.asarray(got), expect, rtol=0, atol=0)
+
+
+def test_model_ragged_decode_flash_matches_einsum(monkeypatch):
+    """decode_step_ragged with the flash kernel wired in (COSY_FLASH_DECODE=
+    force -> interpret on CPU) must match the masked-einsum path."""
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config, Qwen2Model
+
+    cfg = Qwen2Config(hidden_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
+                      head_dim=64, intermediate_size=256, vocab_size=64,
+                      max_cache_len=256, dtype=jnp.float32)
+    model = Qwen2Model(cfg)
+    rng = np.random.default_rng(3)
+    B = 3
+    emb = jnp.asarray(rng.standard_normal((B, 1, cfg.hidden_size)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), emb, jnp.ones((B, 1), bool))
+    cache = model.init_cache(B, dtype=jnp.float32, length=256)
+    # seed the arena with noise so dead positions would corrupt a bad mask
+    cache = jax.tree.map(
+        lambda x: jnp.asarray(rng.standard_normal(x.shape), x.dtype), cache)
+    cur = jnp.asarray([7, 130, 255], jnp.int32)
+
+    def run():
+        # default-precision f32 dots are bf16-grade on this backend, and the
+        # kernel/einsum paths reassociate differently — compare at full
+        # precision so the tolerance tests the MATH, not the dot rounding
+        with jax.default_matmul_precision("highest"):
+            return model.apply(params, emb, cur, cache, method="decode_step_ragged")
+
+    monkeypatch.setenv("COSY_FLASH_DECODE", "0")
+    h_ref, cache_ref = run()
+    monkeypatch.setenv("COSY_FLASH_DECODE", "force")
+    h_flash, cache_flash = run()
+    np.testing.assert_allclose(np.asarray(h_flash), np.asarray(h_ref), rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(cache_flash), jax.tree.leaves(cache_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
