@@ -199,7 +199,16 @@ class Qwen2LM:
 
     def init_cache(self, batch: int = 1, length: Optional[int] = None):
         q = self.cfg.qwen
-        shape = (q.num_layers, batch, length or q.max_cache_len, q.num_kv_heads, q.head_dim)
+        T = length or q.max_cache_len
+        shape = (q.num_layers, batch, T, q.num_kv_heads, q.head_dim)
+        if q.kv_quant:
+            sshape = (q.num_layers, batch, T)
+            return (
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sshape, jnp.float32),
+                jnp.zeros(sshape, jnp.float32),
+            )
         return (jnp.zeros(shape, q.dtype), jnp.zeros(shape, q.dtype))
 
     def arena_bucket(self, need: int) -> int:
@@ -211,13 +220,18 @@ class Qwen2LM:
         return min(((need + b - 1) // b) * b, self.cfg.qwen.max_cache_len)
 
     def grow_cache(self, cache, new_len: int):
-        """Extend the KV arena (axis 2) with zeros to new_len."""
-        k, v = cache
-        pad = new_len - k.shape[2]
+        """Extend the KV arena (axis 2 of every leaf: [L, B, T, ...] KV
+        arrays and [L, B, T] scale planes) with zeros to new_len."""
+        pad = new_len - cache[0].shape[2]
         if pad <= 0:
             return cache
-        cfgpad = ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))
-        return (jnp.pad(k, cfgpad), jnp.pad(v, cfgpad))
+
+        def _pad(a):
+            widths = [(0, 0)] * a.ndim
+            widths[2] = (0, pad)
+            return jnp.pad(a, widths)
+
+        return tuple(_pad(a) for a in cache)
 
     # ---------------- decode ----------------
     def _decode_pack(self, params, cache):
@@ -226,7 +240,9 @@ class Qwen2LM:
         decode blocks — building it inside the jitted block would re-copy all
         layers' packed weights (~the full LM) on device every block."""
         c = self.cfg
-        if c.qwen.quant != "int4p" or cache[0].shape[1] != 1:
+        # kv_quant: the fused whole-step kernel reads a bf16 arena; int8-KV
+        # decode goes through decode_step(+flash-quant attention) instead
+        if c.qwen.quant != "int4p" or c.qwen.kv_quant or cache[0].shape[1] != 1:
             return None
         import os
 

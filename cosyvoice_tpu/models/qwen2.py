@@ -39,6 +39,10 @@ class Qwen2Config:
     max_cache_len: int = 4096
     dtype: Any = jnp.bfloat16
     quant: Any = False  # weight-only quant: False | True/"int8" | "int4" (ops/quant.py)
+    # int8 KV arena: per-token absmax rows + [.., T] f32 scale planes; halves
+    # the arena-read term that dominates batched long-context decode (the
+    # cache pytree becomes (k_q, v_q, k_scale, v_scale))
+    kv_quant: bool = False
     # sequence-parallel training (GSPMD): PartitionSpec axis names for the
     # [B, T, C] hidden states between layers, e.g. ("dp", "tp", None) shards
     # the sequence over the tp axis (Megatron-SP role — XLA inserts the
@@ -222,36 +226,59 @@ class Qwen2Attention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
-        if cache is not None:
+        kv_quant = cache is not None and len(cache) == 4
+        if kv_quant:
+            # int8 KV arena: quantize the new rows (per-token absmax) before
+            # the write; scales live in flat [B, T] f32 planes
+            from cosyvoice_tpu.ops.decode_attention import quantize_kv_rows
+
+            ck, cv, cks, cvs = cache
+            k_w, ks_new = quantize_kv_rows(k)
+            v_w, vs_new = quantize_kv_rows(v)
+        elif cache is not None:
             ck, cv = cache
+            k_w, v_w = k, v
+        if cache is not None:
             if jnp.ndim(kv_write_pos) == 0:
-                ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, kv_write_pos, 0, 0))
-                cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, kv_write_pos, 0, 0))
+                ck = jax.lax.dynamic_update_slice(ck, k_w.astype(ck.dtype), (0, kv_write_pos, 0, 0))
+                cv = jax.lax.dynamic_update_slice(cv, v_w.astype(cv.dtype), (0, kv_write_pos, 0, 0))
+                if kv_quant:
+                    cks = jax.lax.dynamic_update_slice(cks, ks_new, (0, kv_write_pos))
+                    cvs = jax.lax.dynamic_update_slice(cvs, vs_new, (0, kv_write_pos))
             else:
                 # per-row write position (S == 1, continuous batching)
                 import os
+
+                from cosyvoice_tpu.ops.decode_attention import _kv_group
 
                 impl = os.environ.get("COSY_KV_WRITE", "auto")
                 if impl != "select" and (
                     jax.default_backend() == "tpu"
                     and c.num_kv_heads * c.head_dim % 128 == 0
-                    and ck.shape[1] % 8 == 0
+                    and ck.shape[1] % _kv_group(ck.dtype) == 0
                 ):
-                    # Pallas row write: touches one 8-row tile group per row
-                    # instead of rewriting the whole arena (ops/decode_attention)
+                    # Pallas row write: touches one tile-group of rows per
+                    # batch row instead of rewriting the whole arena
+                    # (ops/decode_attention)
                     from cosyvoice_tpu.ops.decode_attention import kv_arena_write_traced
 
-                    ck = kv_arena_write_traced(ck, k, kv_write_pos)
-                    cv = kv_arena_write_traced(cv, v, kv_write_pos)
+                    ck = kv_arena_write_traced(ck, k_w, kv_write_pos)
+                    cv = kv_arena_write_traced(cv, v_w, kv_write_pos)
                 else:
                     # fallback: masked select (full-arena rewrite, fuses on
                     # any backend; fine for tests / CPU mesh)
                     kpos = jnp.arange(ck.shape[1])
                     sel = (kpos[None, :] == kv_write_pos[:, None])[:, :, None, None]
-                    ck = jnp.where(sel, k.astype(ck.dtype), ck)
-                    cv = jnp.where(sel, v.astype(cv.dtype), cv)
+                    ck = jnp.where(sel, k_w.astype(ck.dtype), ck)
+                    cv = jnp.where(sel, v_w.astype(cv.dtype), cv)
+                if kv_quant:
+                    # the scale planes are tiny ([B, T] f32) — masked select
+                    spos = jnp.arange(cks.shape[1])
+                    ssel = spos[None, :] == kv_write_pos[:, None]
+                    cks = jnp.where(ssel, ks_new, cks)
+                    cvs = jnp.where(ssel, vs_new, cvs)
             k_all, v_all = ck, cv
-            new_cache = (ck, cv)
+            new_cache = (ck, cv, cks, cvs) if kv_quant else (ck, cv)
         else:
             k_all, v_all = k, v
             new_cache = None
@@ -265,6 +292,7 @@ class Qwen2Attention(nn.Module):
             from cosyvoice_tpu.ops.decode_attention import (
                 flash_decode_wanted,
                 gqa_decode_attention,
+                gqa_decode_attention_quant,
             )
 
             interp = flash_decode_wanted(k_all.shape[1], c.num_kv_heads * c.head_dim)
@@ -274,9 +302,21 @@ class Qwen2Attention(nn.Module):
                     if jnp.ndim(kv_write_pos) == 0
                     else kv_write_pos
                 )
-                out = gqa_decode_attention(q[:, 0], k_all, v_all, cur, interpret=interp)
+                if kv_quant:
+                    out = gqa_decode_attention_quant(
+                        q[:, 0], k_all, v_all, cks, cvs, cur, interpret=interp
+                    )
+                else:
+                    out = gqa_decode_attention(q[:, 0], k_all, v_all, cur, interpret=interp)
                 out = out.reshape(B, S, c.num_heads * c.head_dim)
         if out is None:
+            if kv_quant:
+                # prefill / CPU fallback: the upcast+scale fuses into the
+                # attention einsum's arena read
+                from cosyvoice_tpu.ops.decode_attention import dequantize_kv_arena
+
+                k_all = dequantize_kv_arena(k_all, cks, c.dtype)
+                v_all = dequantize_kv_arena(v_all, cvs, c.dtype)
             # GQA via grouped einsum — never materializes the head-repeated KV
             # (a 7x HBM blowup per decode step with repeat)
             rep = c.num_heads // c.num_kv_heads
@@ -459,14 +499,13 @@ class Qwen2Model(nn.Module):
         x = embeds.astype(self.cfg.dtype)
         new_cache = []
         for i, layer in enumerate(self.layers):
-            x, layer_cache = layer(x, cos, sin, bias, 0, (cache[0][i], cache[1][i]))
+            x, layer_cache = layer(x, cos, sin, bias, 0, tuple(part[i] for part in cache))
             new_cache.append(layer_cache)
         x = self.norm(x)
         idx = jnp.clip(true_len - 1, 0)
         hidden_last = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
-        k_stack = jnp.stack([kc for kc, _ in new_cache])
-        v_stack = jnp.stack([vc for _, vc in new_cache])
-        return hidden_last, (k_stack, v_stack)
+        stacked_cache = tuple(jnp.stack(parts) for parts in zip(*new_cache))
+        return hidden_last, stacked_cache
 
     def extend(self, embeds, start, cache):
         """Append a fully-valid segment at position `start` (bistream feeds:
@@ -486,12 +525,11 @@ class Qwen2Model(nn.Module):
         x = embeds.astype(c.dtype)
         new_cache = []
         for i, layer in enumerate(self.layers):
-            x, layer_cache = layer(x, cos, sin, bias, start[0], (cache[0][i], cache[1][i]))
+            x, layer_cache = layer(x, cos, sin, bias, start[0], tuple(part[i] for part in cache))
             new_cache.append(layer_cache)
         x = self.norm(x)
-        k_stack = jnp.stack([kc for kc, _ in new_cache])
-        v_stack = jnp.stack([vc for _, vc in new_cache])
-        return x[:, -1], (k_stack, v_stack)
+        stacked_cache = tuple(jnp.stack(parts) for parts in zip(*new_cache))
+        return x[:, -1], stacked_cache
 
     def decode_step(self, emb, cur_len, cache):
         """One-token step. emb: [B, 1, C]; cur_len: [B] current sequence
@@ -508,12 +546,11 @@ class Qwen2Model(nn.Module):
         x = emb.astype(c.dtype)
         new_cache = []
         for i, layer in enumerate(self.layers):
-            x, layer_cache = layer(x, cos, sin, bias, cur_len[0], (cache[0][i], cache[1][i]))
+            x, layer_cache = layer(x, cos, sin, bias, cur_len[0], tuple(part[i] for part in cache))
             new_cache.append(layer_cache)
         x = self.norm(x)
-        k_stack = jnp.stack([kc for kc, _ in new_cache])
-        v_stack = jnp.stack([vc for _, vc in new_cache])
-        return x[:, 0], (k_stack, v_stack)
+        stacked_cache = tuple(jnp.stack(parts) for parts in zip(*new_cache))
+        return x[:, 0], stacked_cache
 
     def decode_step_ragged(self, emb, cur_len, cache):
         """One-token step with PER-ROW positions (continuous batching: slots
@@ -532,15 +569,23 @@ class Qwen2Model(nn.Module):
         x = emb.astype(c.dtype)
         new_cache = []
         for i, layer in enumerate(self.layers):
-            x, layer_cache = layer(x, cos, sin, bias, cur_len, (cache[0][i], cache[1][i]))
+            x, layer_cache = layer(x, cos, sin, bias, cur_len, tuple(part[i] for part in cache))
             new_cache.append(layer_cache)
         x = self.norm(x)
-        k_stack = jnp.stack([kc for kc, _ in new_cache])
-        v_stack = jnp.stack([vc for _, vc in new_cache])
-        return x[:, 0], (k_stack, v_stack)
+        stacked_cache = tuple(jnp.stack(parts) for parts in zip(*new_cache))
+        return x[:, 0], stacked_cache
 
     def init_cache(self, batch: int, dtype=None, length=None):
         c = self.cfg
+        T = length or c.max_cache_len
+        shape = (c.num_layers, batch, T, c.num_kv_heads, c.head_dim)
+        if c.kv_quant:
+            sshape = (c.num_layers, batch, T)
+            return (
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(shape, jnp.int8),
+                jnp.zeros(sshape, jnp.float32),
+                jnp.zeros(sshape, jnp.float32),
+            )
         dtype = dtype or c.dtype
-        shape = (c.num_layers, batch, length or c.max_cache_len, c.num_kv_heads, c.head_dim)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))

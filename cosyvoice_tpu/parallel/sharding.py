@@ -186,6 +186,10 @@ def cache_spec(cache_leaf, mesh: Mesh) -> P:
             dims[1] = "dp"
         if cache_leaf.shape[3] % sizes.get("tp", 1) == 0:
             dims[3] = "tp"
+    elif cache_leaf.ndim == 3:
+        # int8-KV scale plane [L, B, T]: batch over 'dp'
+        if cache_leaf.shape[1] % sizes.get("dp", 1) == 0:
+            dims[1] = "dp"
     return P(*dims)
 
 

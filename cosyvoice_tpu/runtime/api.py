@@ -64,6 +64,8 @@ class CosyVoice2:
         quant_lm=False,  # weight-only LM: True/"int8" (2x faster decode), "int4"
         # (half the int8 memory, XLA path) or "int4p" (int4 via the fused
         # Pallas decode kernels, ops/int4_fused.py)
+        kv_quant: bool = False,  # int8 KV arena (halves batched long-context
+        # decode's arena-read HBM term; see ops/decode_attention.py)
     ):
         self.model_dir = model_dir
         # model dirs may carry a declarative config.json (the reference's
@@ -72,6 +74,12 @@ class CosyVoice2:
         from cosyvoice_tpu.utils.config import build_flow_config, build_hift_config, build_lm_config
 
         lm_cfg = lm_cfg or (build_lm_config(file_cfg["llm"]) if "llm" in file_cfg else LMConfig())
+        if kv_quant:
+            import dataclasses
+
+            lm_cfg = dataclasses.replace(
+                lm_cfg, qwen=dataclasses.replace(lm_cfg.qwen, kv_quant=True)
+            )
         flow_cfg = flow_cfg or (build_flow_config(file_cfg["flow"]) if "flow" in file_cfg else FlowConfig())
         hift_cfg = hift_cfg or (build_hift_config(file_cfg["hift"]) if "hift" in file_cfg else HiFTConfig())
         self.quant_lm = quant_lm

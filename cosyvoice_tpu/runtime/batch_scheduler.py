@@ -31,12 +31,13 @@ from cosyvoice_tpu.models.llm import Qwen2LM, TYPE_SPEECH
 
 
 def _insert_cache_slot(batch_cache, slot_cache, b):
-    """Splice a [L, 1, ...] prefilled cache into slot b of [L, B, ...]."""
-    k, v = batch_cache
-    ks, vs = slot_cache
-    k = jax.lax.dynamic_update_slice(k, ks.astype(k.dtype), (0, b, 0, 0, 0))
-    v = jax.lax.dynamic_update_slice(v, vs.astype(v.dtype), (0, b, 0, 0, 0))
-    return k, v
+    """Splice a [L, 1, ...] prefilled cache into slot b of [L, B, ...].
+    Generic over the cache pytree: (k, v) bf16 arenas or the int8-KV
+    4-tuple (k_q, v_q, k_scale, v_scale) with [L, B, T] scale planes."""
+    return tuple(
+        jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype), (0, b) + (0,) * (dst.ndim - 2))
+        for dst, src in zip(batch_cache, slot_cache)
+    )
 
 
 @dataclass

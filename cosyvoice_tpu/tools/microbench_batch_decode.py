@@ -21,8 +21,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--block", type=int, default=25)
     ap.add_argument("--reps", type=int, default=8)
-    ap.add_argument("--quant", default=False)
+    ap.add_argument("--quant", default=False, help="weight quant: int8 | int4 | int4p")
+    ap.add_argument("--kv_quant", action="store_true", help="int8 KV arena")
     args = ap.parse_args()
+    if args.quant in ("0", "", "False", "false"):
+        args.quant = False
 
     from cosyvoice_tpu.utils.devices import honor_env_platforms
 
@@ -37,7 +40,11 @@ def main():
     K = jax.random.PRNGKey
 
     def sync(x):
-        jax.block_until_ready(x)
+        # true device sync: fetch a scalar reduce — block_until_ready is a
+        # no-op through the axon tunnel (see bench.py timing methodology)
+        if isinstance(x, (list, tuple)):
+            x = x[0]
+        float(jnp.sum(jnp.abs(jnp.asarray(x).astype(jnp.float32))))
 
     def time_block(model, params, B, arena_len, live_len, block, reps):
         c = model.cfg
@@ -67,14 +74,19 @@ def main():
         sync(o[0])
         return (time.time() - t0) / reps
 
-    lm = Qwen2LM(LMConfig(block_size=args.block, quant=args.quant))
+    import dataclasses
+
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+
+    qwen = dataclasses.replace(Qwen2Config(), quant=args.quant, kv_quant=args.kv_quant)
+    lm = Qwen2LM(LMConfig(block_size=args.block, qwen=qwen))
     with init_on_cpu():
         params = lm.init(K(0))
     params = to_default_device(params)
     sync(jax.tree_util.tree_leaves(params)[0])
 
     grid = [(1, 512, 400), (4, 1024, 900), (8, 1024, 900), (8, 2048, 1900), (16, 2048, 1900)]
-    print(f"block={args.block} quant={args.quant} "
+    print(f"block={args.block} quant={args.quant} kv_quant={args.kv_quant} "
           f"flash={os.environ.get('COSY_FLASH_DECODE', 'auto')}")
     for B, arena, live in grid:
         dt = time_block(lm, params, B, arena, live, args.block, args.reps)

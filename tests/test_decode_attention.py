@@ -92,3 +92,114 @@ def test_model_ragged_decode_flash_matches_einsum(monkeypatch):
     np.testing.assert_allclose(np.asarray(h_flash), np.asarray(h_ref), rtol=1e-4, atol=1e-5)
     for a, b in zip(jax.tree.leaves(cache_flash), jax.tree.leaves(cache_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV arena (kv_quant): quantized flash kernel + end-to-end cache path
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("lens", [[0], [5, 700, 1023]])
+def test_quant_decode_attention_matches_dequant_einsum(lens):
+    """The int8 flash kernel's column/weight-folded dequant must equal the
+    dequantize-then-attend einsum exactly (same math, different order)."""
+    from cosyvoice_tpu.ops.decode_attention import (
+        gqa_decode_attention_quant,
+        gqa_decode_attention_quant_reference,
+        quantize_kv_rows,
+    )
+
+    rng = np.random.default_rng(4)
+    B, Hq, Hkv, d, T = len(lens), 14, 2, 64, 1024
+    q = jnp.asarray(rng.standard_normal((B, Hq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, d)), jnp.float32)
+    kq, ks = quantize_kv_rows(k)
+    vq, vs = quantize_kv_rows(v)
+    cur = jnp.asarray(lens, jnp.int32)
+    out = gqa_decode_attention_quant(q, kq, vq, ks, vs, cur, block_size=256, interpret=True)
+    ref = gqa_decode_attention_quant_reference(q, kq, vq, ks, vs, cur)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+
+
+def test_quantize_kv_rows_roundtrip_error():
+    """Per-token absmax int8: reconstruction error bounded by scale/2."""
+    from cosyvoice_tpu.ops.decode_attention import dequantize_kv_arena, quantize_kv_rows
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 64, 2, 64)), jnp.float32)
+    q, s = quantize_kv_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 64)
+    back = dequantize_kv_arena(q, s, jnp.float32)
+    err = jnp.max(jnp.abs(back - x))
+    assert float(err) <= float(jnp.max(s)) * 0.5 + 1e-7
+
+
+def test_lm_generate_kv_quant_matches_fp():
+    """A tiny LM decodes the same token stream with the int8 KV arena as with
+    the bf16 arena (quantization error is far below sampling thresholds)."""
+    import dataclasses
+
+    from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+
+    qwen = Qwen2Config(hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+                       head_dim=16, intermediate_size=128, vocab_size=256,
+                       max_cache_len=256, dtype=jnp.float32)
+    cfg = LMConfig(speech_token_size=50, qwen=qwen)
+    lm = Qwen2LM(cfg)
+    params = lm.init(jax.random.PRNGKey(0))
+    lmq = Qwen2LM(dataclasses.replace(cfg, qwen=dataclasses.replace(qwen, kv_quant=True)))
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 50, (17,)).astype(np.int32)
+    types = np.ones((17,), np.int32)
+    toks = np.concatenate(list(lm.generate(params, ids, types, K5 := jax.random.PRNGKey(5), 10, 40)))
+    toksq = np.concatenate(list(lmq.generate(params, ids, types, K5, 10, 40)))
+    np.testing.assert_array_equal(toks, toksq)
+
+    # cache pytree shape contract: 4-tuple with [L, B, T] f32 scale planes
+    cache = lmq.init_cache(2, length=64)
+    assert len(cache) == 4
+    assert cache[0].dtype == jnp.int8 and cache[2].dtype == jnp.float32
+    assert cache[2].shape == (2, 2, 64)
+    grown = lmq.grow_cache(cache, 128)
+    assert grown[0].shape[2] == 128 and grown[2].shape == (2, 2, 128)
+
+
+def test_batch_scheduler_kv_quant(monkeypatch):
+    """Continuous batching with the int8 KV arena: admit two sessions, decode
+    to completion, both produce in-vocab tokens."""
+    import queue as _q
+
+    from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+    from cosyvoice_tpu.models.qwen2 import Qwen2Config
+    from cosyvoice_tpu.runtime.batch_scheduler import LMBatchScheduler
+
+    monkeypatch.setenv("COSY_KV_WRITE", "select")
+    qwen = Qwen2Config(hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
+                       head_dim=16, intermediate_size=128, vocab_size=256,
+                       max_cache_len=256, dtype=jnp.float32, kv_quant=True)
+    lm = Qwen2LM(LMConfig(speech_token_size=50, qwen=qwen, block_size=8))
+    params = lm.init(jax.random.PRNGKey(0))
+    sched = LMBatchScheduler(lm, params, max_batch=2, prompt_bucket=16)
+    rng = np.random.default_rng(1)
+    handles = [
+        sched.submit(rng.integers(0, 50, (n,)).astype(np.int32), np.ones(n, np.int32), 5, 25)
+        for n in (12, 20)
+    ]
+    for _ in range(10):
+        sched.step()
+    for h in handles:
+        out = []
+        while True:
+            try:
+                item = h._q.get_nowait()
+            except _q.Empty:
+                break
+            if item is None or isinstance(item, BaseException):
+                break
+            out.append(item)
+        toks = np.concatenate(out)
+        assert 5 <= len(toks) <= 25
+        assert np.all((toks >= 0) & (toks < 50))
