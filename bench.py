@@ -24,6 +24,8 @@ import time
 
 import numpy as np
 
+_T_START = time.time()  # the optional-section deadline counts from process start
+
 
 def _sync(x):
     """True device sync: fetch a scalar reduce of x (block_until_ready is a
@@ -168,28 +170,6 @@ def main():
     lm_dev_int8_s = lm_block_time(q_lm, q_params, n_tokens)
     print(f"# lm_dev_int8 {lm_dev_int8_s:.4f}", flush=True)
 
-    # int4p: fused Pallas decode kernels (ops/int4_fused.py) — half the int8
-    # weight bytes at near-int8 decode speed
-    q4_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant="int4p")))
-    with init_on_cpu():
-        q4_params = q4_lm.init(K(0))
-    q4_params = to_default_device(q4_params)
-    lm_dev_int4p_s = lm_block_time(q4_lm, q4_params, n_tokens)
-    print(f"# lm_dev_int4p {lm_dev_int4p_s:.4f}", flush=True)
-    # A/B the shift-free unpack scheme (trace-time env; a FRESH Qwen2LM gets
-    # fresh jit wrappers so both schemes are measured in one run)
-    os.environ["COSY_INT4_UNPACK"] = "fold"
-    try:
-        q4f_lm = Qwen2LM(q4_lm.cfg)
-        lm_dev_int4p_fold_s = lm_block_time(q4f_lm, q4_params, n_tokens)
-    except Exception as e:  # noqa: BLE001 — experimental kernel path
-        print(f"# int4p fold scheme failed: {type(e).__name__}: {e}", flush=True)
-        lm_dev_int4p_fold_s = -1.0
-    finally:
-        os.environ.pop("COSY_INT4_UNPACK", None)
-    print(f"# lm_dev_int4p_fold {lm_dev_int4p_fold_s:.4f}", flush=True)
-    del q4_params
-
     # ---- token2wav: fused offline program (flow + mel slice + vocoder) ----
     tokens = rng.integers(0, 6561, n_tokens).astype(np.int32)
     L = 50 + n_tokens
@@ -265,6 +245,79 @@ def main():
     _sync([o for pair in outs for o in pair])
     first_chunk_int8_ms = ((time.time() - t0) - rt_s) / n_rep * 1000.0
     print(f"# first_chunk_dev_int8 {first_chunk_int8_ms:.1f}ms", flush=True)
+
+    # ---- HEADLINE: everything the official metric needs is measured.
+    # Emit the JSON line NOW, before any optional wall-clock/A-B section can
+    # blow the driver's budget (round 1 lost its perf number to exactly
+    # that: rc=124 with all device numbers already printed). ----
+    rtf_dev = (lm_dev_s + t2w_dev_s) / audio_seconds
+    rtf_int8 = (lm_dev_int8_s + t2w_dev_s) / audio_seconds
+    baseline = 0.0891
+    result = {
+        "metric": "offline_rtf",
+        # headline = the production serving config (int8 weight-only LM +
+        # fused t2w), matching the baseline's TRT-LLM int8 role
+        "value": round(rtf_int8, 4),
+        "unit": "ratio",
+        "vs_baseline": round(baseline / rtf_int8, 4),
+        "rtf_bf16_lm": round(rtf_dev, 4),
+        "vs_baseline_bf16": round(baseline / rtf_dev, 4),
+        "lm_device_s": round(lm_dev_s, 4),
+        "lm_device_s_int8": round(lm_dev_int8_s, 4),
+        "t2w_device_s": round(t2w_dev_s, 4),
+        "first_chunk_ms_device": round(first_chunk_dev_ms, 1),
+        "first_chunk_ms_device_int8": round(first_chunk_int8_ms, 1),
+        "tunnel_rt_ms": round(rt_s * 1000.0, 1),
+        "audio_s": audio_seconds,
+        "kv_arena": arena,
+        "compile_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+        "backend": jax.default_backend(),
+        "note": "value = device-resident int8-LM timing, the production "
+                "serving config (sync via value fetch; block_until_ready "
+                "is a no-op through this rig's TPU tunnel); *_wall numbers "
+                "include the ~30-90ms/roundtrip tunnel",
+    }
+    print(json.dumps(result), flush=True)
+
+    # ---- optional sections behind a deadline: each updates `result` and the
+    # extended JSON line is re-printed at the end (same metric/value, extra
+    # keys only — safe whichever line the driver parses). ----
+    budget_s = float(os.environ.get("COSY_BENCH_BUDGET_S", "420"))
+    deadline = _T_START + budget_s
+
+    def have(margin_s):
+        return time.time() < deadline - margin_s
+
+    # int4p: fused Pallas decode kernels (ops/int4_fused.py) — half the int8
+    # weight bytes at near-int8 decode speed
+    if have(90):
+        try:
+            q4_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant="int4p")))
+            with init_on_cpu():
+                q4_params = q4_lm.init(K(0))
+            q4_params = to_default_device(q4_params)
+            lm_dev_int4p_s = lm_block_time(q4_lm, q4_params, n_tokens)
+            print(f"# lm_dev_int4p {lm_dev_int4p_s:.4f}", flush=True)
+            result["lm_device_s_int4p"] = round(lm_dev_int4p_s, 4)
+            result["rtf_int4p_lm"] = round((lm_dev_int4p_s + t2w_dev_s) / audio_seconds, 4)
+            # A/B the shift-free unpack scheme (trace-time env; a FRESH
+            # Qwen2LM gets fresh jit wrappers so both schemes are measured
+            # in one run)
+            if have(60):
+                os.environ["COSY_INT4_UNPACK"] = "fold"
+                try:
+                    q4f_lm = Qwen2LM(q4_lm.cfg)
+                    lm_dev_int4p_fold_s = lm_block_time(q4f_lm, q4_params, n_tokens)
+                    result["lm_device_s_int4p_fold"] = round(lm_dev_int4p_fold_s, 4)
+                    print(f"# lm_dev_int4p_fold {lm_dev_int4p_fold_s:.4f}", flush=True)
+                except Exception as e:  # noqa: BLE001 — experimental kernel path
+                    print(f"# int4p fold scheme failed: {type(e).__name__}: {e}", flush=True)
+                finally:
+                    os.environ.pop("COSY_INT4_UNPACK", None)
+            del q4_params
+        except Exception as e:  # noqa: BLE001 — optional section
+            print(f"# int4p section failed: {type(e).__name__}: {e}", flush=True)
     del q_params
 
     # ---- wall-clock end-to-end through the public engine (includes the
@@ -282,78 +335,48 @@ def main():
             prompt_feat, embedding, token_offset=0, stream=False, finalize=True,
         )
 
-    e2e_once(30)
-    e2e_once(31)
-    t0 = time.time()
-    e2e_once(32)
-    wall_s = time.time() - t0
-
-    rtf_dev = (lm_dev_s + t2w_dev_s) / audio_seconds
-    rtf_int8 = (lm_dev_int8_s + t2w_dev_s) / audio_seconds
-    rtf_wall = wall_s / audio_seconds
-    baseline = 0.0891
+    if have(120):
+        try:
+            e2e_once(30)
+            e2e_once(31)
+            t0 = time.time()
+            e2e_once(32)
+            wall_s = time.time() - t0
+            result["rtf_wall_via_tunnel"] = round(wall_s / audio_seconds, 4)
+            print(f"# rtf_wall {wall_s / audio_seconds:.4f}", flush=True)
+        except Exception as e:  # noqa: BLE001 — optional section
+            print(f"# e2e wall section failed: {type(e).__name__}: {e}", flush=True)
 
     # ---- streaming first-chunk latency through the public engine (wall) ----
-    first_chunk_ms = -1.0
-    try:
-        def stream_gen(seed):
-            return engine.tts(
-                text_tokens=text,
-                prompt_text_tokens=np.zeros(0, np.int32),
-                llm_prompt_speech_token=prompt_speech_tokens,
-                flow_prompt_speech_token=prompt_speech_tokens,
-                prompt_speech_feat=prompt_feat,
-                flow_embedding=embedding,
-                stream=True,
-                rng_seed=seed,
-            )
+    if have(120):
+        try:
+            def stream_gen(seed):
+                return engine.tts(
+                    text_tokens=text,
+                    prompt_text_tokens=np.zeros(0, np.int32),
+                    llm_prompt_speech_token=prompt_speech_tokens,
+                    flow_prompt_speech_token=prompt_speech_tokens,
+                    prompt_speech_feat=prompt_feat,
+                    flow_embedding=embedding,
+                    stream=True,
+                    rng_seed=seed,
+                )
 
-        for seed in (7, 8):  # warm both streaming programs
-            for _ in stream_gen(seed):
+            for seed in (7, 8):  # warm both streaming programs
+                for _ in stream_gen(seed):
+                    pass
+            t0 = time.time()
+            gen = stream_gen(9)
+            next(gen)
+            result["first_chunk_ms_wall"] = round((time.time() - t0) * 1000.0, 1)
+            for _ in gen:
                 pass
-        t0 = time.time()
-        gen = stream_gen(9)
-        next(gen)
-        first_chunk_ms = (time.time() - t0) * 1000.0
-        for _ in gen:
-            pass
-    except Exception:
-        pass
+            print(f"# first_chunk_wall {result['first_chunk_ms_wall']}ms", flush=True)
+        except Exception as e:  # noqa: BLE001 — optional section
+            print(f"# streaming wall section failed: {type(e).__name__}: {e}", flush=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "offline_rtf",
-                # headline = the production serving config (int8 weight-only
-                # LM + fused t2w), matching the baseline's TRT-LLM int8 role
-                "value": round(rtf_int8, 4),
-                "unit": "ratio",
-                "vs_baseline": round(baseline / rtf_int8, 4),
-                "rtf_bf16_lm": round(rtf_dev, 4),
-                "vs_baseline_bf16": round(baseline / rtf_dev, 4),
-                "lm_device_s": round(lm_dev_s, 4),
-                "lm_device_s_int8": round(lm_dev_int8_s, 4),
-                "lm_device_s_int4p": round(lm_dev_int4p_s, 4),
-                "lm_device_s_int4p_fold": round(lm_dev_int4p_fold_s, 4),
-                "rtf_int4p_lm": round((lm_dev_int4p_s + t2w_dev_s) / audio_seconds, 4),
-                "t2w_device_s": round(t2w_dev_s, 4),
-                "first_chunk_ms_device": round(first_chunk_dev_ms, 1),
-                "first_chunk_ms_device_int8": round(first_chunk_int8_ms, 1),
-                "rtf_wall_via_tunnel": round(rtf_wall, 4),
-                "first_chunk_ms_wall": round(first_chunk_ms, 1),
-                "tunnel_rt_ms": round(rt_s * 1000.0, 1),
-                "audio_s": audio_seconds,
-                "kv_arena": arena,
-                "compile_s": round(compile_s, 1),
-                "init_s": round(init_s, 1),
-                "backend": jax.default_backend(),
-                "note": "value = device-resident int8-LM timing, the production "
-                        "serving config (sync via value fetch; block_until_ready "
-                        "is a no-op through this rig's TPU tunnel); *_wall numbers "
-                        "include the ~30-90ms/roundtrip tunnel",
-            }
-        )
-    )
+    # extended line: same metric/value/vs_baseline, extra keys only
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

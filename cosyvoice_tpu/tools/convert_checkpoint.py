@@ -432,6 +432,102 @@ def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict) -> dict
     return filler.build()
 
 
+def convert_campplus(weights: Dict[str, np.ndarray], template: dict) -> dict:
+    """CAM++ speaker-embedding weights -> models/campplus.py param tree.
+
+    `weights` comes from tools/onnx_reader.read_onnx_weights on the
+    reference's campplus.onnx (cli/frontend.py:45,108-118) or from the public
+    3D-Speaker CAMPPlus torch state_dict — both use the speakerlab module
+    names (head.conv1/bn1/layer{1,2}.{0,1}/conv2/bn2, xvector.tdnn,
+    xvector.block{N}.tdnnd{M}.{nonlinear1,linear1,nonlinear2,cam_layer},
+    xvector.transit{N}, xvector.out_nonlinear, xvector.dense).
+
+    Structure (block count, layers per block, residual stages) is derived
+    from the checkpoint keys; every torch tensor must be consumed and every
+    flax leaf filled, so a graph drift fails loudly instead of silently.
+    """
+    sd = {}
+    for k, v in weights.items():
+        stripped = True
+        while stripped:
+            stripped = False
+            for pre in ("campplus.", "model.", "module."):
+                if k.startswith(pre):
+                    k = k[len(pre):]
+                    stripped = True
+        arr = np.asarray(v, np.float32)
+        if k in sd and not (sd[k].shape == arr.shape and np.array_equal(sd[k], arr)):
+            raise ValueError(f"prefix-stripping collision on '{k}': differing duplicate weights")
+        sd[k] = arr
+    used = set()
+
+    def take(k):
+        used.add(k)
+        return sd[k]
+
+    tf = TreeFiller(template)
+    P = "params"
+
+    def conv2d(t, f):  # torch [out, in, kh, kw] -> flax [kh, kw, in, out]
+        tf.put(f"{P}/{f}/kernel", take(f"{t}.weight").transpose(2, 3, 1, 0))
+
+    def conv1d(t, f, bias=False):
+        tf.put(f"{P}/{f}/kernel", _conv(take(f"{t}.weight")))
+        if bias:
+            tf.put(f"{P}/{f}/bias", take(f"{t}.bias"))
+
+    def bn(t, f, affine=True):
+        tf.put(f"{P}/{f}/mean", take(f"{t}.running_mean"))
+        tf.put(f"{P}/{f}/var", take(f"{t}.running_var"))
+        if affine:
+            tf.put(f"{P}/{f}/scale", take(f"{t}.weight"))
+            tf.put(f"{P}/{f}/bias", take(f"{t}.bias"))
+        used.add(f"{t}.num_batches_tracked")
+
+    # ---- head (FCM) ----
+    conv2d("head.conv1", "head/conv1")
+    bn("head.bn1", "head/bn1")
+    for li in (1, 2):
+        n_blocks = 1 + max(
+            int(k.split(".")[2]) for k in sd if k.startswith(f"head.layer{li}."))
+        for bi in range(n_blocks):
+            t, f = f"head.layer{li}.{bi}", f"head/layer{li}_{bi}"
+            conv2d(f"{t}.conv1", f"{f}/conv1")
+            bn(f"{t}.bn1", f"{f}/bn1")
+            conv2d(f"{t}.conv2", f"{f}/conv2")
+            bn(f"{t}.bn2", f"{f}/bn2")
+            if f"{t}.shortcut.0.weight" in sd:
+                conv2d(f"{t}.shortcut.0", f"{f}/shortcut_conv")
+                bn(f"{t}.shortcut.1", f"{f}/shortcut_bn")
+    conv2d("head.conv2", "head/conv2")
+    bn("head.bn2", "head/bn2")
+
+    # ---- xvector trunk ----
+    conv1d("xvector.tdnn.linear", "tdnn_linear")
+    bn("xvector.tdnn.nonlinear.batchnorm", "tdnn_bn")
+    n_dense = len({k.split(".")[1] for k in sd if k.startswith("xvector.block")})
+    for i in range(1, n_dense + 1):
+        n_layers = len({
+            k.split(".")[2] for k in sd if k.startswith(f"xvector.block{i}.")})
+        for j in range(1, n_layers + 1):
+            t, f = f"xvector.block{i}.tdnnd{j}", f"block{i}/tdnnd{j}"
+            bn(f"{t}.nonlinear1.batchnorm", f"{f}/nonlinear1_bn")
+            conv1d(f"{t}.linear1", f"{f}/linear1")
+            bn(f"{t}.nonlinear2.batchnorm", f"{f}/nonlinear2_bn")
+            conv1d(f"{t}.cam_layer.linear_local", f"{f}/cam_layer/linear_local")
+            conv1d(f"{t}.cam_layer.linear1", f"{f}/cam_layer/linear1", bias=True)
+            conv1d(f"{t}.cam_layer.linear2", f"{f}/cam_layer/linear2", bias=True)
+        bn(f"xvector.transit{i}.nonlinear.batchnorm", f"transit{i}_bn")
+        conv1d(f"xvector.transit{i}.linear", f"transit{i}_linear")
+    bn("xvector.out_nonlinear.batchnorm", "out_bn")
+    conv1d("xvector.dense.linear", "dense_linear")
+    bn("xvector.dense.nonlinear.batchnorm", "dense_bn", affine=False)
+
+    leftover = set(sd) - used
+    assert not leftover, f"unconsumed campplus tensors: {sorted(leftover)[:10]}"
+    return tf.build()
+
+
 def main():
     from cosyvoice_tpu.utils.devices import honor_env_platforms
 
@@ -441,6 +537,7 @@ def main():
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--version", type=int, default=2)
     parser.add_argument("--s3_onnx", default="", help="speech_tokenizer_v*.onnx to convert (optional)")
+    parser.add_argument("--campplus_onnx", default="", help="campplus.onnx to convert (optional)")
     args = parser.parse_args()
 
     import os
@@ -523,6 +620,18 @@ def main():
         with open(os.path.join(args.out_dir, "speech_tokenizer.msgpack"), "wb") as f:
             f.write(ser.to_bytes(params))
         print("converted speech_tokenizer")
+
+    if args.campplus_onnx:
+        from cosyvoice_tpu.models.campplus import CamPPEmbedding
+        from cosyvoice_tpu.tools.onnx_reader import read_onnx_weights
+
+        with init_on_cpu():
+            cam = CamPPEmbedding()
+            cam_t = cam.init(jax.random.PRNGKey(0), jnp.zeros((1, 200, 80)))
+        params = convert_campplus(read_onnx_weights(args.campplus_onnx), cam_t)
+        with open(os.path.join(args.out_dir, "campplus.msgpack"), "wb") as f:
+            f.write(ser.to_bytes(params))
+        print("converted campplus")
 
 
 if __name__ == "__main__":
