@@ -318,6 +318,21 @@ def main():
             del q4_params
         except Exception as e:  # noqa: BLE001 — optional section
             print(f"# int4p section failed: {type(e).__name__}: {e}", flush=True)
+
+    # int8 KV arena (kv_quant=True): halves the arena-read bytes that dominate
+    # batched long-context decode; here measured at the bench shapes on the
+    # int8-weight LM (the production combo). See ops/decode_attention.py
+    # gqa_decode_attention_quant.
+    if have(90):
+        try:
+            kq_lm = Qwen2LM(dataclasses.replace(
+                lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant=True, kv_quant=True)))
+            lm_dev_kvq_s = lm_block_time(kq_lm, q_params, n_tokens)
+            print(f"# lm_dev_kvq {lm_dev_kvq_s:.4f}", flush=True)
+            result["lm_device_s_kvq"] = round(lm_dev_kvq_s, 4)
+            result["rtf_kvq"] = round((lm_dev_kvq_s + t2w_dev_s) / audio_seconds, 4)
+        except Exception as e:  # noqa: BLE001 — optional section
+            print(f"# kv_quant section failed: {type(e).__name__}: {e}", flush=True)
     del q_params
 
     # ---- wall-clock end-to-end through the public engine (includes the

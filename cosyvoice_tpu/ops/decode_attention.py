@@ -364,8 +364,12 @@ def quantize_kv_rows(x, eps: float = 1e-6):
 
 def dequantize_kv_arena(arena_q, scale, dtype):
     """Inverse of quantize_kv_rows over a whole arena (the XLA fallback /
-    prefill path — the upcast+scale fuses into the attention einsum)."""
-    return arena_q.astype(dtype) * scale[:, :, None, None].astype(dtype)
+    prefill path — the upcast+scale fuses into the attention einsum).
+
+    The scale multiply stays in f32 (matching the flash kernel's f32 column
+    dequant) and only the product is cast, so the fallback and kernel paths
+    agree to quantization error rather than diverging by bf16 scale rounding."""
+    return (arena_q.astype(jnp.float32) * scale[:, :, None, None]).astype(dtype)
 
 
 def gqa_decode_attention_quant_reference(q, k_arena, v_arena, k_scale, v_scale, cur_len):

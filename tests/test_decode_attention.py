@@ -59,6 +59,23 @@ def test_kv_arena_write_rows():
     np.testing.assert_allclose(np.asarray(got), expect, rtol=0, atol=0)
 
 
+def test_kv_arena_write_rows_int8():
+    """int8 arena uses the 32-sublane tile group; the row write must hit
+    exactly arena[b, pos[b]] including rows at group boundaries (31/32) and
+    the arena tail (T-1)."""
+    rng = np.random.default_rng(3)
+    B, T, Hkv, d = 4, 96, 2, 64  # T multiple of 32
+    arena = rng.integers(-128, 128, (B, T, Hkv, d)).astype(np.int8)
+    new = rng.integers(-128, 128, (B, 1, Hkv, d)).astype(np.int8)
+    pos = np.asarray([0, 31, 32, 95], np.int32)
+    expect = arena.copy()
+    for b in range(B):
+        expect[b, pos[b]] = new[b, 0]
+    got = kv_arena_write(jnp.asarray(arena), jnp.asarray(new), jnp.asarray(pos), interpret=True)
+    assert got.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(got), expect)
+
+
 def test_model_ragged_decode_flash_matches_einsum(monkeypatch):
     """decode_step_ragged with the flash kernel wired in (COSY_FLASH_DECODE=
     force -> interpret on CPU) must match the masked-einsum path."""
