@@ -65,6 +65,13 @@ class CosyVoiceFrontEnd:
             lambda p, mel, ml: self.speech_tokenizer.apply(p, mel, ml)
         )
         self._jit_spk = jax.jit(lambda p, f: self.campplus.apply(p, f))
+        # anonymous-prompt LRU: serving clients often repeat the same prompt
+        # wav without registering a spk id; re-running S3 + CAM++ + two mels
+        # per request puts ~4 device round trips on the first-chunk path
+        from collections import OrderedDict
+
+        self._prompt_cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._prompt_cache_max = 16
 
     # ---------------- extraction ----------------
     def _extract_text_token(self, text: str) -> np.ndarray:
@@ -94,6 +101,18 @@ class CosyVoiceFrontEnd:
         return basic_normalize(text, self.tokenizer.encode, split=split)
 
     # ---------------- per-mode assembly ----------------
+    def _prompt_key(self, prompt_text: str, prompt_wav):
+        if isinstance(prompt_wav, str):
+            try:
+                sig = (prompt_wav, os.path.getmtime(prompt_wav))
+            except OSError:
+                sig = (prompt_wav, 0.0)
+        else:
+            import hashlib
+
+            sig = hashlib.blake2b(np.ascontiguousarray(prompt_wav).tobytes(), digest_size=16).hexdigest()
+        return (prompt_text, sig)
+
     def frontend_zero_shot(self, tts_text, prompt_text, prompt_wav, zero_shot_spk_id: str = ""):
         """prompt_wav: path or [1, L] float array at 16 kHz (will be resampled
         internally for the 24 kHz mel)."""
@@ -101,23 +120,32 @@ class CosyVoiceFrontEnd:
         if zero_shot_spk_id and zero_shot_spk_id in self.spk2info:
             out.update(self.spk2info[zero_shot_spk_id])
             return out
-        # one disk read: load at 16 kHz, resample in memory for the 24 kHz mel
-        speech_16k = load_wav(prompt_wav, 16000) if isinstance(prompt_wav, str) else prompt_wav
-        speech_24k = _resample(speech_16k, 16000, self.sample_rate)
-        speech_feat = self._extract_speech_feat(speech_24k)
-        speech_token = self._extract_speech_token(speech_16k)
-        if self.sample_rate == 24000:
-            # force feat len == 2 * token len (frontend.py:174-178)
-            token_len = min(speech_feat.shape[1] // 2, len(speech_token))
-            speech_feat = speech_feat[:, : 2 * token_len]
-            speech_token = speech_token[:token_len]
-        out.update(
-            prompt_text_tokens=self._extract_text_token(prompt_text),
-            llm_prompt_speech_token=speech_token,
-            flow_prompt_speech_token=speech_token,
-            prompt_speech_feat=speech_feat,
-            flow_embedding=self._extract_spk_embedding(speech_16k),
-        )
+        key = self._prompt_key(prompt_text, prompt_wav)
+        info = self._prompt_cache.get(key)
+        if info is None:
+            # one disk read: load at 16 kHz, resample in memory for the 24 kHz mel
+            speech_16k = load_wav(prompt_wav, 16000) if isinstance(prompt_wav, str) else prompt_wav
+            speech_24k = _resample(speech_16k, 16000, self.sample_rate)
+            speech_feat = self._extract_speech_feat(speech_24k)
+            speech_token = self._extract_speech_token(speech_16k)
+            if self.sample_rate == 24000:
+                # force feat len == 2 * token len (frontend.py:174-178)
+                token_len = min(speech_feat.shape[1] // 2, len(speech_token))
+                speech_feat = speech_feat[:, : 2 * token_len]
+                speech_token = speech_token[:token_len]
+            info = dict(
+                prompt_text_tokens=self._extract_text_token(prompt_text),
+                llm_prompt_speech_token=speech_token,
+                flow_prompt_speech_token=speech_token,
+                prompt_speech_feat=speech_feat,
+                flow_embedding=self._extract_spk_embedding(speech_16k),
+            )
+            self._prompt_cache[key] = info
+            if len(self._prompt_cache) > self._prompt_cache_max:
+                self._prompt_cache.popitem(last=False)
+        else:
+            self._prompt_cache.move_to_end(key)
+        out.update(info)
         return out
 
     def frontend_cross_lingual(self, tts_text, prompt_wav, zero_shot_spk_id: str = ""):

@@ -35,7 +35,17 @@ def _build_lib() -> str:
 
 
 class NativeBPETokenizer:
-    def __init__(self, vocab_path: str, special_tokens: Optional[Dict[str, int]] = None):
+    def __init__(
+        self,
+        vocab_path: str,
+        special_tokens: Optional[Dict[str, int]] = None,
+        pat_str: Optional[str] = None,
+    ):
+        """pat_str: optional tiktoken pre-tokenization regex (\\p classes ok —
+        compiled with the `regex` module). BPE merges then never cross piece
+        boundaries, matching tiktoken.Encoding exactly; without it the core
+        merges over the whole span (fine for vocabularies whose merges never
+        span piece boundaries, NOT exact for GPT-style vocabs)."""
         lib = ctypes.CDLL(_build_lib())
         lib.bpe_load.restype = ctypes.c_void_p
         lib.bpe_load.argtypes = [ctypes.c_char_p]
@@ -57,13 +67,17 @@ class NativeBPETokenizer:
             if self.special_tokens
             else None
         )
+        self._pat = None
+        if pat_str is not None:
+            import regex  # supports \p{L}/\p{N} like tiktoken's rust regex
+
+            self._pat = regex.compile(pat_str)
 
     @property
     def vocab_size(self) -> int:
         return self._lib.bpe_vocab_size(self._h) + len(self.special_tokens)
 
-    def _encode_span(self, text: str) -> List[int]:
-        raw = text.encode("utf-8")
+    def _encode_piece(self, raw: bytes) -> List[int]:
         if not raw:
             return []
         cap = len(raw) + 8
@@ -72,6 +86,14 @@ class NativeBPETokenizer:
         if n < 0:
             raise ValueError("bpe encode failed (byte missing from vocab?)")
         return list(buf[:n])
+
+    def _encode_span(self, text: str) -> List[int]:
+        if self._pat is None:
+            return self._encode_piece(text.encode("utf-8"))
+        out: List[int] = []
+        for piece in self._pat.findall(text):
+            out.extend(self._encode_piece(piece.encode("utf-8")))
+        return out
 
     def encode(self, text: str, allowed_special: str = "all") -> List[int]:
         if self._special_re is None:

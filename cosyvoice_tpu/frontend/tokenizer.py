@@ -13,6 +13,7 @@ tokens for CosyVoice2 (cosyvoice/tokenizer/tokenizer.py:241-271) and adds
   tokenizer assets are present.
 """
 
+import os
 import re
 from typing import List, Optional
 
@@ -43,6 +44,48 @@ _PINYIN = (
     "ōu ū ūn ǎ ǎi ǎn ǎng ǎo ǐ ǐn ǐng ǒ ǒng ǒu ǔ ǔn ǘ ǚ ǜ"
 ).split()
 V3_EXTRA_SPECIAL_TOKENS = ["<|endofsystem|>"] + [f"[{p}]" for p in _CMU] + [f"[{p}]" for p in _PINYIN]
+
+# ---------------------------------------------------------------------------
+# v1 whisper-style tokenizer constants (tokenizer.py:11-206): the tiktoken
+# vocab asset "multilingual_zh_ja_yue_char_del.tiktoken" + this exact special
+# inventory (order defines the ids, appended after the mergeable ranks)
+# ---------------------------------------------------------------------------
+_WHISPER_LANGS = (
+    "en zh de es ru ko fr ja pt tr pl ca nl ar sv it id hi fi vi he uk el ms cs ro da hu ta no th ur "
+    "hr bg lt la mi ml cy sk te fa lv bn sr az sl kn et mk br eu is hy ne mn bs kk sq sw gl mr pa si "
+    "km sn yo so af oc ka be tg sd gu am yi lo uz fo ht ps tk nn mt sa lb my bo tl mg as tt haw ln ha "
+    "ba jw su yue minnan wuyu dialect zh/en en/zh"
+).split()
+_AUDIO_EVENTS = ["ASR", "AED", "SER", "Speech", "/Speech", "BGM", "/BGM",
+                 "Laughter", "/Laughter", "Applause", "/Applause"]
+_EMOTIONS = ["HAPPY", "SAD", "ANGRY", "NEUTRAL"]
+_TTS_VOCAL = ["TTS/B", "TTS/O", "TTS/Q", "TTS/A", "TTS/CO", "TTS/CL", "TTS/H"] + [
+    f"TTS/SP{i:02d}" for i in range(1, 14)
+]
+
+# tiktoken pre-tokenization pattern (tokenizer.py:204) — BPE merges never
+# cross these piece boundaries
+WHISPER_PAT_STR = r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+
+def whisper_v1_specials(num_languages: int = 99) -> List[str]:
+    """Ordered special-token list of the v1 tokenizer (tokenizer.py:179-197)."""
+    return [
+        "<|endoftext|>",
+        "<|startoftranscript|>",
+        *[f"<|{lang}|>" for lang in _WHISPER_LANGS[:num_languages]],
+        *[f"<|{e}|>" for e in _AUDIO_EVENTS],
+        *[f"<|{e}|>" for e in _EMOTIONS],
+        "<|translate|>",
+        "<|transcribe|>",
+        "<|startoflm|>",
+        "<|startofprev|>",
+        "<|nospeech|>",
+        "<|notimestamps|>",
+        *[f"<|SPECIAL_TOKEN_{i}|>" for i in range(1, 31)],
+        *[f"<|{t}|>" for t in _TTS_VOCAL],
+        *[f"<|{i * 0.02:.2f}|>" for i in range(1501)],
+    ]
 
 
 class ByteFallbackTokenizer:
@@ -110,14 +153,45 @@ class QwenTokenizer:
         return self.tokenizer.decode(ids, skip_special_tokens=self.skip_special_tokens)
 
 
+def find_tokenizer_assets(model_dir: Optional[str]) -> Optional[str]:
+    """Locate tokenizer assets inside a released model dir.
+
+    Probes, in order: a 'tokenizer/' subdir, the HF Qwen pretrain dir the
+    released CosyVoice2/3 checkpoints ship ('CosyVoice-BlankEN', the yaml
+    qwen_pretrain_path), the model dir itself, then a v1 *.tiktoken vocab
+    (tokenizer/tokenizer.py:169-171 loads it from an assets/ dir)."""
+    import glob
+
+    if not model_dir:
+        return None
+    markers = ("tokenizer.json", "tokenizer_config.json", "vocab.json")
+    for sub in ("tokenizer", "CosyVoice-BlankEN"):
+        d = os.path.join(model_dir, sub)
+        if any(os.path.exists(os.path.join(d, m)) for m in markers):
+            return d
+    if any(os.path.exists(os.path.join(model_dir, m)) for m in markers):
+        return model_dir
+    tk = sorted(glob.glob(os.path.join(model_dir, "*.tiktoken"))) + sorted(
+        glob.glob(os.path.join(model_dir, "assets", "*.tiktoken"))
+    )
+    return tk[0] if tk else None
+
+
 def get_tokenizer(token_path: Optional[str] = None, version: int = 2):
     special = V2_SPECIAL_TOKENS + (V3_EXTRA_SPECIAL_TOKENS if version >= 3 else [])
     if token_path and token_path.endswith(".tiktoken"):
-        # v1 whisper-style tiktoken vocab -> native C++ BPE runtime
+        # v1 whisper-style tiktoken vocab -> native C++ BPE runtime with the
+        # whisper pre-tokenization pattern and special inventory — token ids
+        # match the reference's tiktoken.Encoding exactly
+        # (tests/test_native_bpe.py::TestWhisperV1Parity)
         from cosyvoice_tpu.frontend.native_bpe import NativeBPETokenizer
 
         base = sum(1 for _ in open(token_path, "rb"))
-        return NativeBPETokenizer(token_path, special_tokens={t: base + i for i, t in enumerate(special)})
+        return NativeBPETokenizer(
+            token_path,
+            special_tokens={t: base + i for i, t in enumerate(whisper_v1_specials())},
+            pat_str=WHISPER_PAT_STR,
+        )
     if token_path:
         try:
             return QwenTokenizer(token_path, version=version)

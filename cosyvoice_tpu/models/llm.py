@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cosyvoice_tpu.models.qwen2 import Qwen2Config, Qwen2Model
-from cosyvoice_tpu.ops.sampling import ras_sampling
+from cosyvoice_tpu.ops.sampling import ras_sampling_batch
 
 # input token source types
 TYPE_TEXT = 0
@@ -32,6 +32,20 @@ TYPE_SPEECH = 1
 TYPE_SPECIAL = 2  # llm_embedding rows: 0 = sos, 1 = task_id
 
 IGNORE_ID = -100
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _split_chain(rng: jax.Array, n: int):
+    """The key chain `rng, k = split(rng)` repeated n times, in ONE device
+    call: returns (carry, keys[n]) with keys[i] == split(split(...)[0])[1] —
+    bit-equal to the per-block split it replaces (decode streams are
+    unchanged); `carry` continues the chain."""
+
+    def body(carry, _):
+        nxt, k = jax.random.split(carry)
+        return nxt, k
+
+    return jax.lax.scan(body, rng, None, length=n)
 
 
 @dataclass(frozen=True)
@@ -317,15 +331,10 @@ class Qwen2LM:
                     -1.0e30,
                     logp,
                 )
-            toks = []
-            for b in range(logits.shape[0]):
-                toks.append(
-                    ras_sampling(
-                        jax.random.fold_in(rng_k, b), logp[b], rec[b], jnp.minimum(n_dec[b], c.win_size),
-                        top_p=c.top_p, top_k=c.top_k, win_size=c.win_size, tau_r=c.tau_r,
-                    )
-                )
-            return jnp.stack(toks)
+            return ras_sampling_batch(
+                rng_k, logp, rec, jnp.minimum(n_dec, c.win_size),
+                top_p=c.top_p, top_k=c.top_k, win_size=c.win_size, tau_r=c.tau_r,
+            )
 
         def step(carry, _):
             rng_c, cache_c, cur, logits, rec, n_dec, fin = carry
@@ -406,18 +415,31 @@ class Qwen2LM:
 
         produced = 0
         cur_host = T  # host mirror of the worst-case write position
-        while produced < max_len and not bool(finished[0]):
+        # one split for the whole generation: per-block jax.random.split is a
+        # device round trip per block — through a remote-TPU tunnel that is
+        # ~an RTT of pure latency per 28 tokens. keys[i] below is an async
+        # slice dispatch, never a host sync. Key schedule (split-off-the-left
+        # chain) is preserved exactly: split(rng)[1], split(split(rng)[0])[1], ...
+        n_blocks = max(1, -(-max_len // block_size) + 1)
+        _, keys = _split_chain(rng, n_blocks)
+        stop_seen = False
+        block_i = 0
+        while produced < max_len and not stop_seen:
             cache = self.grow_cache(cache, self.arena_bucket(cur_host + block_size + 1))
-            rng, k = jax.random.split(rng)
+            k = keys[min(block_i, n_blocks - 1)]
+            block_i += 1
             tokens, logits, cache, cur_len, recent, n_decoded, finished = self._jit_decode_block(
                 params, k, cache, cur_len, logits, recent, n_decoded, min_l, finished, block_size,
                 stacked=self._decode_pack(params, cache),
             )
             cur_host += block_size
+            # the ONLY host sync per block: fetch the tokens; stop is derived
+            # on host (saves the bool(finished) round trip)
             toks = np.asarray(tokens[0])
             stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
             if len(stop_idx):
                 toks = toks[: stop_idx[0]]
+                stop_seen = True
             toks = toks[: max_len - produced]
             produced += len(toks)
             if len(toks):

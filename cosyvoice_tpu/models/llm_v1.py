@@ -24,7 +24,7 @@ from cosyvoice_tpu.nn.attention import masked_softmax
 from cosyvoice_tpu.nn.conformer import ConformerEncoder, ConformerEncoderLayer, LinearInputLayer
 from cosyvoice_tpu.nn.embedding import EspnetRelPositionalEncoding
 from cosyvoice_tpu.ops.masks import make_non_pad_mask
-from cosyvoice_tpu.ops.sampling import ras_sampling
+from cosyvoice_tpu.ops.sampling import ras_sampling_batch
 
 
 @dataclass(frozen=True)
@@ -318,15 +318,10 @@ class TransformerLM:
             logp = jnp.where(
                 (jnp.arange(eos + 1)[None, :] >= eos) & (n_dec < min_len)[:, None], -1.0e30, logp
             )
-            toks = []
-            for b in range(logits.shape[0]):
-                toks.append(
-                    ras_sampling(
-                        jax.random.fold_in(rng_k, b), logp[b], rec[b], jnp.minimum(n_dec[b], c.win_size),
-                        top_p=c.top_p, top_k=c.top_k, win_size=c.win_size, tau_r=c.tau_r,
-                    )
-                )
-            return jnp.stack(toks)
+            return ras_sampling_batch(
+                rng_k, logp, rec, jnp.minimum(n_dec, c.win_size),
+                top_p=c.top_p, top_k=c.top_k, win_size=c.win_size, tau_r=c.tau_r,
+            )
 
         def step(carry, _):
             rng_c, ka, va, cur, logits, rec, n_dec, fin = carry
@@ -376,8 +371,17 @@ class TransformerLM:
         finished = jnp.zeros((1,), bool)
         min_l = jnp.asarray([min_len], jnp.int32)
         produced = 0
-        while produced < max_len and not bool(finished[0]):
-            rng, kk = jax.random.split(rng)
+        # one split-chain device call + host-side stop detection: 2 fewer
+        # device round trips per block (see llm.py generate)
+        from cosyvoice_tpu.models.llm import _split_chain
+
+        n_blocks = max(1, -(-max_len // block_size) + 1)
+        _, keys = _split_chain(rng, n_blocks)
+        stop_seen = False
+        block_i = 0
+        while produced < max_len and not stop_seen:
+            kk = keys[min(block_i, n_blocks - 1)]
+            block_i += 1
             tokens, logits, k_arena, v_arena, cur, recent, n_decoded, finished = self._jit_decode_block(
                 params, kk, k_arena, v_arena, cur, logits, recent, n_decoded, min_l, finished, block_size
             )
@@ -385,6 +389,7 @@ class TransformerLM:
             stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
             if len(stop_idx):
                 toks = toks[: stop_idx[0]]
+                stop_seen = True
             toks = toks[: max_len - produced]
             produced += len(toks)
             if len(toks):

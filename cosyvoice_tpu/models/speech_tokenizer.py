@@ -12,9 +12,13 @@ pre-LN transformer blocks — followed by a quantizer:
 - v2 (25 Hz):  extra stride-2 stage, FSQ with 3^8 = 6561 codes
 - v3 (25 Hz):  FSQ (6561) with the CosyVoice3 code layout
 
-Weight conversion from the released ONNX graphs is a planned activation-match
-step; the module structure mirrors the public s3tokenizer layout to make the
-mapping mechanical.
+Weight conversion: tools/convert_checkpoint.convert_s3_tokenizer consumes the
+graph read by tools/onnx_reader; the architecture (depth/width/quantizer
+family/token rate) is derived from the graph's own tensors by
+s3_config_from_weights, so a released checkpoint that differs from the
+defaults below drives the module rather than silently mismatching. Conversion
+is strict both ways: every graph tensor must be consumed and every flax leaf
+filled (tests/test_convert_s3.py).
 """
 
 from dataclasses import dataclass

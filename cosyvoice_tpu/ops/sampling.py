@@ -65,3 +65,31 @@ def ras_sampling(
     rep = jnp.sum((recent_tokens == cand) & valid)
     resampled = jax.random.categorical(rng2, jnp.where(jnp.arange(logp.shape[0]) == cand, NEG_INF, logp))
     return jnp.where(rep >= win_size * tau_r, resampled, cand).astype(jnp.int32)
+
+
+def ras_sampling_batch(
+    rng: jax.Array,
+    logp: jax.Array,
+    recent_tokens: jax.Array,
+    recent_len: jax.Array,
+    top_p: float = 0.8,
+    top_k: int = 25,
+    win_size: int = 10,
+    tau_r: float = 0.1,
+) -> jax.Array:
+    """Batched RAS: one vmapped sampler subgraph for all rows.
+
+    Per-row keys are fold_in(rng, b) — bit-identical to the former per-row
+    Python loop, so decode streams are unchanged; this only collapses B
+    traced sampler copies (B serialized dispatch regions at trace time)
+    into a single vmap body.
+
+    Args: logp [B, V]; recent_tokens [B, win_size]; recent_len [B].
+    Returns: [B] int32 token ids.
+    """
+    keys = jax.vmap(lambda b: jax.random.fold_in(rng, b))(jnp.arange(logp.shape[0], dtype=jnp.uint32))
+    return jax.vmap(
+        lambda k, lp, rec, rl: ras_sampling(
+            k, lp, rec, rl, top_p=top_p, top_k=top_k, win_size=win_size, tau_r=tau_r
+        )
+    )(keys, logp, recent_tokens, recent_len)

@@ -124,8 +124,10 @@ class CosyVoice2:
         speaker cache). Used stand-alone by the disaggregated-serving gateway,
         which replaces `self.engine` with a RemoteEngine."""
         self.model_dir = model_dir
+        from cosyvoice_tpu.frontend.tokenizer import find_tokenizer_assets
+
         self.frontend = CosyVoiceFrontEnd(
-            token_path=os.path.join(model_dir, "tokenizer") if model_dir else None,
+            token_path=find_tokenizer_assets(model_dir),
             sample_rate=self.sample_rate,
             spk2info_path=os.path.join(model_dir, "spk2info.pkl") if model_dir else "",
         )
@@ -199,12 +201,46 @@ class CosyVoice2:
             for mi, ln in jobs:
                 yield from self._run(mi, stream, speed, ln)
             return
-        from concurrent.futures import ThreadPoolExecutor
+        import queue
 
-        with ThreadPoolExecutor(max_workers=scheduler.B) as ex:
-            futures = [ex.submit(lambda mi=mi, ln=ln: list(self._run(mi, False, speed, ln))) for mi, ln in jobs]
-            for f in futures:
-                yield from f.result()
+        # chunk-level interleaving: segment 1's first chunk is yielded as soon
+        # as it exists (not when the whole segment — or worse, all segments —
+        # finish), while later segments keep decoding in the shared batch
+        ex = self._segment_executor(scheduler.B)
+        queues = [queue.Queue() for _ in jobs]
+
+        def worker(mi, ln, q):
+            try:
+                for out in self._run(mi, False, speed, ln):
+                    q.put(out)
+                q.put(None)
+            except BaseException as e:  # surfaced on the consumer thread
+                q.put(e)
+
+        for (mi, ln), q in zip(jobs, queues):
+            ex.submit(worker, mi, ln, q)
+        for q in queues:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+
+    def _segment_executor(self, width: int):
+        """Persistent thread pool for concurrent offline segments (a pool per
+        call churns threads under serving load)."""
+        ex = getattr(self, "_seg_ex", None)
+        if ex is None or self._seg_ex_width < width:
+            if ex is not None:
+                ex.shutdown(wait=False)
+            from concurrent.futures import ThreadPoolExecutor
+
+            ex = ThreadPoolExecutor(max_workers=width, thread_name_prefix="cosy-seg")
+            self._seg_ex = ex
+            self._seg_ex_width = width
+        return ex
 
     def inference_zero_shot(
         self, tts_text, prompt_text, prompt_wav, zero_shot_spk_id="", stream=False, speed=1.0, text_frontend=True
@@ -301,10 +337,13 @@ class CosyVoice:
             if path and os.path.exists(path):
                 template = _load_msgpack(path, template)
             setattr(self, f"{name}_params", to_default_device(template))
+        from cosyvoice_tpu.frontend.tokenizer import find_tokenizer_assets
+
         self.frontend = CosyVoiceFrontEnd(
-            token_path=os.path.join(model_dir, "tokenizer") if model_dir else None,
+            token_path=find_tokenizer_assets(model_dir),
             sample_rate=self.sample_rate,
             spk2info_path=os.path.join(model_dir, "spk2info.pkl") if model_dir else "",
+            version=1,
         )
         self.engine = CosyVoiceV1Engine(
             self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed
@@ -315,6 +354,7 @@ class CosyVoice:
     save_spkinfo = CosyVoice2.save_spkinfo
     _run = CosyVoice2._run
     _run_segments = CosyVoice2._run_segments
+    _segment_executor = CosyVoice2._segment_executor
     inference_zero_shot = CosyVoice2.inference_zero_shot
     inference_cross_lingual = CosyVoice2.inference_cross_lingual
     inference_vc = CosyVoice2.inference_vc

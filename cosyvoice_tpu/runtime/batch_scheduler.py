@@ -110,6 +110,8 @@ class LMBatchScheduler:
         self.pending: "queue.Queue" = queue.Queue()
         self._parked = None  # oldest pending item held out of the queue (keeps FIFO)
         self.rng = jax.random.PRNGKey(seed)
+        self._keys = None  # batched key schedule: one device call per 256 blocks
+        self._key_i = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -185,7 +187,7 @@ class LMBatchScheduler:
         need = int(live.max()) + self.block_size + 1
         if need > self.cache[0].shape[2]:
             self.cache = self.lm.grow_cache(self.cache, self.lm.arena_bucket(need))
-        self.rng, k = jax.random.split(self.rng)
+        k = self._next_key()
         tokens, self.logits, self.cache, self.cur_len, self.recent, self.n_decoded, self.finished = (
             self.lm._jit_decode_block(
                 self.params, k, self.cache, self.cur_len, self.logits, self.recent,
@@ -193,8 +195,11 @@ class LMBatchScheduler:
                 ragged=True,  # slots hold different sequence lengths
             )
         )
+        # the ONLY host sync per block. Stop state is derived host-side from
+        # the tokens themselves (a live slot flips `finished` exactly when a
+        # stop id appears in its block) — fetching `finished` too would be a
+        # second device round trip per block.
         toks_np = np.asarray(tokens)
-        fin_np = np.asarray(self.finished)
         c = self.lm.cfg
         for b in range(self.B):
             sess = self.slots[b]
@@ -203,14 +208,29 @@ class LMBatchScheduler:
             self._cur_host[b] += self.block_size
             toks = toks_np[b]
             stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
-            if len(stop_idx):
+            stopped = len(stop_idx) > 0
+            if stopped:
                 toks = toks[: stop_idx[0]]
             toks = toks[: sess.max_len - sess.produced]
             sess.produced += len(toks)
             sess.handle._push(toks)
-            if bool(fin_np[b]) or sess.produced >= sess.max_len:
+            if stopped or sess.produced >= sess.max_len:
                 self._retire(b)
         return True
+
+    def _next_key(self):
+        """Per-block sampler key without a per-block device call: the
+        `rng, k = split(rng)` chain is materialized 64 keys at a time (one
+        scan on device), bit-identical to a per-block split — a lone session
+        in the arena reproduces lm.generate's token stream exactly."""
+        if self._keys is None or self._key_i >= 64:
+            from cosyvoice_tpu.models.llm import _split_chain
+
+            self.rng, self._keys = _split_chain(self.rng, 64)
+            self._key_i = 0
+        k = self._keys[self._key_i]
+        self._key_i += 1
+        return k
 
     # ------------------------------------------------------------------
     def _loop(self):

@@ -48,6 +48,45 @@ def _bucket(n: int, b: int) -> int:
     return ((n + b - 1) // b) * b
 
 
+class _Prefetcher:
+    """Drains a token generator on a daemon thread (bounded queue) so the LM's
+    decode blocks and token->wav dispatch/transfers overlap. Through a
+    remote-TPU tunnel each stage pays round-trip latency; serial pulls stack
+    those RTTs on the first-chunk path, prefetch hides them behind each
+    other."""
+
+    _END = object()
+
+    def __init__(self, gen, depth: int = 4):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._exc = None
+
+        def run():
+            try:
+                for item in gen:
+                    self._q.put(item)
+            except BaseException as e:  # re-raised on the consumer thread
+                self._exc = e
+            finally:
+                self._q.put(self._END)
+
+        threading.Thread(target=run, daemon=True, name="lm-prefetch").start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item
+
+
 class CosyVoice2Engine:
     def __init__(
         self,
@@ -81,6 +120,7 @@ class CosyVoice2Engine:
         self.mel_bucket = mel_bucket
         self.seed = seed
         self.scheduler = None  # optional LMBatchScheduler (continuous batching)
+        self._rng0 = None  # cached PRNGKey(seed): building one is a device call
         self.timer = StageTimer()  # per-stage wall-time accounting (SURVEY §5.1)
 
         self._jit_flow = jax.jit(
@@ -109,6 +149,16 @@ class CosyVoice2Engine:
         self._jit_t2w_stream = jax.jit(
             self._t2w_stream_impl, static_argnames=("chunk_mel", "first")
         )
+
+
+    def _seed_key(self, seed=None):
+        """PRNGKey(self.seed), built once (PRNGKey creation dispatches to the
+        device — a pure round trip when repeated per chunk)."""
+        if seed is not None and seed != self.seed:
+            return jax.random.PRNGKey(seed)
+        if self._rng0 is None:
+            self._rng0 = jax.random.PRNGKey(self.seed)
+        return self._rng0
 
     def _t2w_fused_impl(self, flow_params, hift_params, tok, token_len, conds, emb, rng, prompt_mel_len):
         mel = self.flow.inference(flow_params, tok, token_len, conds, emb, streaming=False)
@@ -186,7 +236,7 @@ class CosyVoice2Engine:
             jnp.asarray(conds),
             jnp.asarray(embedding),
             ctx,
-            jax.random.PRNGKey(self.seed),
+            self._seed_key(),
             state.hift_mel_cache if not first else zeros_mel,
             state.hift_source_cache if not first else zeros_src,
             state.hift_speech_cache if not first else zeros_src,
@@ -219,7 +269,7 @@ class CosyVoice2Engine:
         t0 = time.perf_counter()
         wav = self._jit_t2w_fused(
             self.flow_params, self.hift_params, jnp.asarray(tok), jnp.asarray([L]),
-            jnp.asarray(conds), jnp.asarray(embedding), jax.random.PRNGKey(self.seed),
+            jnp.asarray(conds), jnp.asarray(embedding), self._seed_key(),
             jnp.asarray(prompt_feat.shape[1]),
         )
         n_valid = (L - len(prompt_token)) * self.token_mel_ratio * self.wav_hop
@@ -308,7 +358,7 @@ class CosyVoice2Engine:
         else:
             cache_source = np.zeros((1, 0), np.float32)
 
-        rng = jax.random.PRNGKey(self.seed)
+        rng = self._seed_key()
         if not finalize:
             wav, src = self._vocode(mel, cache_source, rng)
             if state.hift_speech_cache is not None:
@@ -380,7 +430,7 @@ class CosyVoice2Engine:
             token_gen = iter([np.asarray(source_speech_token, np.int32)])
         elif hasattr(text_tokens, "__next__"):
             # bi-streaming text input (reference cli/model.py:104-111)
-            rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
+            rng = self._seed_key(rng_seed)
             token_gen = self._squelch(
                 self.lm.generate_bistream(
                     self.lm_params,
@@ -411,7 +461,7 @@ class CosyVoice2Engine:
                 # prompt alongside other live sessions in one device program
                 token_gen = self._squelch(self.scheduler.submit(ids, types, min_len, max_len))
             else:
-                rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
+                rng = self._seed_key(rng_seed)
                 token_gen = self._squelch(self.lm.generate(self.lm_params, ids, types, rng, min_len, max_len))
 
         produced: list = []
@@ -430,6 +480,9 @@ class CosyVoice2Engine:
             return
 
         # ---- streaming ----
+        token_gen = _Prefetcher(token_gen)
+        t_req = time.perf_counter()
+        first_emitted = False
         token_offset = 0
         hop = self.token_hop_len
         prompt_pad = int(np.ceil(len(flow_prompt_speech_token) / hop) * hop - len(flow_prompt_speech_token))
@@ -456,6 +509,11 @@ class CosyVoice2Engine:
                 )
                 token_offset += this_hop
                 hop = min(self.token_max_hop_len, hop * self.stream_scale_factor)
+                if not first_emitted and wav.size:
+                    # engine-side first-chunk latency (excludes frontend/HTTP);
+                    # exposed at /metrics for non-tunnel accounting
+                    self.timer.add("first_chunk", time.perf_counter() - t_req)
+                    first_emitted = True
                 yield {"tts_speech": wav}
             if gen_done and len(produced) - token_offset < this_hop + la:
                 break
@@ -539,7 +597,7 @@ class CosyVoice3Engine(CosyVoice2Engine):
             ).transpose(0, 2, 1)
         if mel.shape[1] == 0:
             return np.zeros((1, 0), np.float32)
-        rng = jax.random.PRNGKey(self.seed)
+        rng = self._seed_key()
         if not finalize:
             # bucket the cumulative mel so the re-vocode compiles one program
             # per mel_bucket instead of one per exact chunk-boundary length.
@@ -580,6 +638,8 @@ class CosyVoiceV1Engine:
     mel/source caches. Unlike v2, the flow consumes token WINDOWS (not the
     full prefix); continuity comes from the pinned (z, mu) cache."""
 
+    _seed_key = CosyVoice2Engine._seed_key
+
     def __init__(self, lm, flow, hift, lm_params, flow_params, hift_params, seed: int = 1986):
         self.lm = lm
         self.flow = flow
@@ -588,6 +648,8 @@ class CosyVoiceV1Engine:
         self.flow_params = flow_params
         self.hift_params = hift_params
         self.seed = seed
+        self._rng0 = None
+        self.timer = StageTimer()
         fr = flow.cfg.input_frame_rate
         self.token_min_hop_len = 2 * fr
         self.token_max_hop_len = 4 * fr
@@ -618,7 +680,7 @@ class CosyVoiceV1Engine:
                 return np.zeros((1, 0), np.float32)
         else:
             all_tok = np.concatenate([prompt_token, tokens]).astype(np.int32)
-            rng = jax.random.fold_in(jax.random.PRNGKey(self.seed), state.chunk_idx)
+            rng = jax.random.fold_in(self._seed_key(), state.chunk_idx)
             mel, new_cache = self._jit_flow(
                 self.flow_params,
                 rng,
@@ -644,7 +706,7 @@ class CosyVoiceV1Engine:
         else:
             cache_source = np.zeros((1, 0), np.float32)
 
-        hift_rng = jax.random.PRNGKey(self.seed)
+        hift_rng = self._seed_key()
         if not finalize:
             state.mel_overlap = mel[:, -self.mel_overlap_len :]
             mel = mel[:, : -self.mel_overlap_len]
@@ -710,7 +772,7 @@ class CosyVoiceV1Engine:
             min_len = int(len(text_tokens) * 2)
             max_len = int(len(text_tokens) * 20)
             emb = llm_embedding if llm_embedding is not None else flow_embedding
-            rng = jax.random.PRNGKey(self.seed if rng_seed is None else rng_seed)
+            rng = self._seed_key(rng_seed)
             token_gen = self.lm.generate(
                 self.lm_params, text, emb, llm_prompt_speech_token.astype(np.int32), rng, min_len, max_len
             )
@@ -728,6 +790,9 @@ class CosyVoiceV1Engine:
             yield {"tts_speech": wav}
             return
 
+        token_gen = _Prefetcher(token_gen)
+        t_req = time.perf_counter()
+        first_emitted = False
         hop = self.token_min_hop_len
         gen_done = False
         while True:
@@ -746,6 +811,9 @@ class CosyVoiceV1Engine:
                 # growing hop (reference cli/model.py:209): small first chunks
                 # for latency, larger later chunks for throughput
                 hop = min(self.token_max_hop_len, int(hop * self.stream_scale_factor))
+                if not first_emitted and wav.size:
+                    self.timer.add("first_chunk", time.perf_counter() - t_req)
+                    first_emitted = True
                 yield {"tts_speech": wav}
             if gen_done and len(pending) < hop + self.token_overlap_len:
                 break

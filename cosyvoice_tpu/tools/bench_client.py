@@ -53,6 +53,21 @@ def one_request(host, port, endpoint, body, sample_rate, chunk_hook=None):
     return first if first is not None else total, total, audio_s
 
 
+def _server_stages(host, port):
+    """Fetch the engine's StageTimer summary from /metrics (server-side,
+    non-tunnel accounting: `first_chunk` there is measured inside the engine,
+    after the HTTP/frontend hop and before the client socket)."""
+    try:
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        if resp.status != 200:
+            return None
+        return json.loads(resp.read()).get("stages")
+    except Exception:
+        return None
+
+
 def sweep(host, port, endpoint, body, concurrency_levels, n_requests, sample_rate):
     results = []
     for conc in concurrency_levels:
@@ -96,6 +111,9 @@ def sweep(host, port, endpoint, body, concurrency_levels, n_requests, sample_rat
         }
         if errors:
             line["first_error"] = errors[0][:200]
+        stages = _server_stages(host, port)
+        if stages:
+            line["server_stages"] = stages
         results.append(line)
         print(json.dumps(line), flush=True)
     return results

@@ -330,16 +330,8 @@ def convert_flow_v2(sd: Dict[str, np.ndarray], template: dict) -> dict:
 
 # ---------------------------------------------------------------------------
 
-def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict) -> dict:
-    """Speech tokenizer weights (whisper-style encoder + FSQ/VQ quantizer)
-    -> models/speech_tokenizer.py param tree.
-
-    `weights` comes from tools/onnx_reader.read_onnx_weights on the
-    reference's speech_tokenizer_v*.onnx (cli/frontend.py:46-48) or from the
-    public s3tokenizer torch state_dict — both use the whisper module names
-    (conv1/conv2, blocks.N.attn.{query,key,value,out}, blocks.N.mlp.{0,2},
-    attn_ln/mlp_ln/ln_post)."""
-    # normalize: strip common prefixes the exporters add
+def _normalize_s3_keys(weights: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip the prefixes ONNX/torch exporters add to the whisper names."""
     sd = {}
     for k, v in weights.items():
         # strip stacked prefixes until none match ("model.encoder.conv1" needs
@@ -358,7 +350,82 @@ def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict) -> dict
             # values) — silently keeping the last would load wrong weights
             raise ValueError(f"prefix-stripping collision on '{k}': differing duplicate weights")
         sd[k] = arr
+    return sd
 
+
+_S3_DS_KEYS = ("conv3.weight", "downsample.conv.weight", "conv_ds.weight")
+_S3_FSQ_KEYS = ("quantizer.project_in.weight", "quantizer.project_down.weight",
+                "fsq.project_in.weight", "proj.weight")
+_S3_VQ_KEYS = ("quantizer._codebook.embed", "quantizer.codebook", "codebook")
+
+
+def s3_config_from_weights(weights: Dict[str, np.ndarray]):
+    """Derive S3TokenizerConfig from the graph's own initializer tensors.
+
+    The released speech_tokenizer_v*.onnx graphs (cli/frontend.py:46-48) are
+    the only source of truth for depth/width — nothing is hardcoded here:
+    n_mels/d_model come from conv1, num_layers from the block index range,
+    the quantizer family from which quantizer tensors exist, and the 25 Hz
+    second downsample from the presence of its conv. Heads follow the
+    whisper 64-dim-head convention (d_model // 64)."""
+    from cosyvoice_tpu.models.speech_tokenizer import S3TokenizerConfig
+
+    sd = _normalize_s3_keys(weights)
+    if "conv1.weight" not in sd:
+        raise KeyError("not an S3 tokenizer graph: no conv1.weight initializer")
+    w1 = sd["conv1.weight"]  # torch Conv1d layout [d_model, n_mels, k]
+    d_model, n_mels = int(w1.shape[0]), int(w1.shape[1])
+    num_layers = 1 + max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    num_heads = max(1, d_model // 64)
+    rate_div = 2 if any(k in sd for k in _S3_DS_KEYS) else 1
+    for k in _S3_FSQ_KEYS:
+        if k in sd:
+            n_levels = int(sd[k].shape[0])
+            return S3TokenizerConfig(
+                n_mels=n_mels, d_model=d_model, num_heads=num_heads, num_layers=num_layers,
+                codebook_size=3 ** n_levels, use_fsq=True, fsq_levels=(3,) * n_levels,
+                token_rate_div=rate_div,
+            )
+    for k in _S3_VQ_KEYS:
+        if k in sd:
+            cb = sd[k]
+            cb = cb[0] if cb.ndim == 3 else cb
+            return S3TokenizerConfig(
+                n_mels=n_mels, d_model=d_model, num_heads=num_heads, num_layers=num_layers,
+                codebook_size=int(cb.shape[0]), use_fsq=False, token_rate_div=rate_div,
+            )
+    raise KeyError("no quantizer tensors found (tried FSQ proj and VQ codebook names)")
+
+
+def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict, strict: bool = True) -> dict:
+    """Speech tokenizer weights (whisper-style encoder + FSQ/VQ quantizer)
+    -> models/speech_tokenizer.py param tree.
+
+    `weights` comes from tools/onnx_reader.read_onnx_weights on the
+    reference's speech_tokenizer_v*.onnx (cli/frontend.py:46-48) or from the
+    public s3tokenizer torch state_dict — both use the whisper module names
+    (conv1/conv2, blocks.N.attn.{query,key,value,out}, blocks.N.mlp.{0,2},
+    attn_ln/mlp_ln/ln_post).
+
+    strict=True additionally requires that every substantive weight tensor of
+    the graph is consumed — a graph with layers/submodules this module does
+    not model fails loudly instead of converting to a silently-different
+    network (TreeFiller.build already guarantees the converse: every flax
+    leaf must be filled)."""
+    raw = _normalize_s3_keys(weights)
+    used = set()
+
+    class _Tracked(dict):
+        def __getitem__(self, k):
+            used.add(k)
+            return dict.__getitem__(self, k)
+
+        def __contains__(self, k):
+            # membership probes of the candidate lists are not consumption,
+            # but `find` marks its chosen key via __getitem__
+            return dict.__contains__(self, k)
+
+    sd = _Tracked(raw)
     filler = TreeFiller(template)
     P = "params"
 
@@ -429,6 +496,20 @@ def convert_s3_tokenizer(weights: Dict[str, np.ndarray], template: dict) -> dict
         except KeyError:
             cb = find(["quantizer._codebook.embed"], (1, V, d))[0]
         filler.put(f"{P}/codebook", cb)
+
+    if strict:
+        leftovers = sorted(
+            k for k, v in raw.items()
+            if k not in used
+            and v.size > 8           # shape constants / scalars are graph plumbing
+            and "position" not in k  # sinusoid table: recomputed, not loaded
+        )
+        if leftovers:
+            raise ValueError(
+                "graph tensors not consumed by the conversion (the module does not "
+                f"model them — conversion would be silently lossy): {leftovers[:10]}"
+                + (f" (+{len(leftovers) - 10} more)" if len(leftovers) > 10 else "")
+            )
     return filler.build()
 
 
@@ -608,15 +689,20 @@ def main():
         print(f"converted {name}")
 
     if args.s3_onnx:
-        from cosyvoice_tpu.models.speech_tokenizer import S3Tokenizer, S3TokenizerConfig
+        from cosyvoice_tpu.models.speech_tokenizer import S3Tokenizer
         from cosyvoice_tpu.tools.onnx_reader import read_onnx_weights
 
-        s3_cfg = S3TokenizerConfig() if args.version >= 2 else S3TokenizerConfig(
-            codebook_size=4096, use_fsq=False, token_rate_div=1)
+        s3_weights = read_onnx_weights(args.s3_onnx)
+        # architecture comes from the graph itself (depth/width/quantizer
+        # family), never from the --version flag
+        s3_cfg = s3_config_from_weights(s3_weights)
+        print(f"s3 graph: d={s3_cfg.d_model} layers={s3_cfg.num_layers} "
+              f"{'fsq' + str(len(s3_cfg.fsq_levels)) if s3_cfg.use_fsq else 'vq' + str(s3_cfg.codebook_size)} "
+              f"rate_div={s3_cfg.token_rate_div}")
         with init_on_cpu():
             s3 = S3Tokenizer(s3_cfg)
             s3_t = s3.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, s3_cfg.n_mels)), jnp.asarray([16]))
-        params = convert_s3_tokenizer(read_onnx_weights(args.s3_onnx), s3_t)
+        params = convert_s3_tokenizer(s3_weights, s3_t)
         with open(os.path.join(args.out_dir, "speech_tokenizer.msgpack"), "wb") as f:
             f.write(ser.to_bytes(params))
         print("converted speech_tokenizer")

@@ -6,7 +6,7 @@ import numpy as np
 import torch
 
 from cosyvoice_tpu.models.speech_tokenizer import S3Tokenizer, S3TokenizerConfig, sinusoids
-from cosyvoice_tpu.tools.convert_checkpoint import convert_s3_tokenizer
+from cosyvoice_tpu.tools.convert_checkpoint import convert_s3_tokenizer, s3_config_from_weights
 
 import jax
 import jax.numpy as jnp
@@ -169,3 +169,82 @@ class TestS3V1Conversion:
         tokens, tok_len = s3.apply(params, jnp.asarray(mel), jnp.asarray([24]))
         assert int(tok_len[0]) == 12  # 24 mel -> 12 (conv2 only; 50 Hz)
         np.testing.assert_array_equal(np.asarray(tokens)[0, :12], ref_tokens.numpy()[0, :12])
+
+
+def _full_size_v2_graph():
+    """Initializer dict at the REAL speech_tokenizer_v2 scale (whisper-large
+    width d=1280 / 128 mels / 6 layers / FSQ-8 / 25 Hz downsample) with the
+    whisper export names — shapes only, values random. Conversion must
+    consume every tensor and fill every leaf at this scale."""
+    rng = np.random.default_rng(0)
+    d, mels, layers, levels = 1280, 128, 6, 8
+
+    def t(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    sd = {
+        "encoder.conv1.weight": t(d, mels, 3), "encoder.conv1.bias": t(d),
+        "encoder.conv2.weight": t(d, d, 3), "encoder.conv2.bias": t(d),
+        "encoder.positional_embedding": t(1500, d),  # recomputed, not loaded
+        "encoder.ln_post.weight": t(d), "encoder.ln_post.bias": t(d),
+        "encoder.conv3.weight": t(d, d, 3), "encoder.conv3.bias": t(d),
+        "quantizer.project_in.weight": t(levels, d), "quantizer.project_in.bias": t(levels),
+    }
+    for i in range(layers):
+        p = f"encoder.blocks.{i}"
+        sd.update({
+            f"{p}.attn_ln.weight": t(d), f"{p}.attn_ln.bias": t(d),
+            f"{p}.attn.query.weight": t(d, d), f"{p}.attn.query.bias": t(d),
+            f"{p}.attn.key.weight": t(d, d),
+            f"{p}.attn.value.weight": t(d, d), f"{p}.attn.value.bias": t(d),
+            f"{p}.attn.out.weight": t(d, d), f"{p}.attn.out.bias": t(d),
+            f"{p}.mlp_ln.weight": t(d), f"{p}.mlp_ln.bias": t(d),
+            f"{p}.mlp.0.weight": t(4 * d, d), f"{p}.mlp.0.bias": t(4 * d),
+            f"{p}.mlp.2.weight": t(d, 4 * d), f"{p}.mlp.2.bias": t(d),
+        })
+    return sd
+
+
+class TestS3ConfigFromGraph:
+    def test_v2_full_scale(self):
+        """Config is derived from the graph, and conversion consumes every
+        tensor at the released checkpoint's scale."""
+        sd = _full_size_v2_graph()
+        cfg = s3_config_from_weights(sd)
+        assert (cfg.n_mels, cfg.d_model, cfg.num_heads, cfg.num_layers) == (128, 1280, 20, 6)
+        assert cfg.use_fsq and cfg.fsq_levels == (3,) * 8 and cfg.codebook_size == 6561
+        assert cfg.token_rate_div == 2
+
+        s3 = S3Tokenizer(cfg)
+        template = jax.eval_shape(
+            lambda: s3.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, cfg.n_mels)), jnp.asarray([8]))
+        )
+        params = convert_s3_tokenizer(sd, template)
+        n_leaves = len(jax.tree_util.tree_leaves(params))
+        assert n_leaves == len(jax.tree_util.tree_leaves(template))
+
+    def test_v1_vq_config(self):
+        torch.manual_seed(1)
+        tm = _TorchS3V1().eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        cfg = s3_config_from_weights(sd)
+        assert not cfg.use_fsq and cfg.codebook_size == 64
+        assert cfg.token_rate_div == 1  # v1 stays at 50 Hz
+        assert (cfg.n_mels, cfg.d_model, cfg.num_layers) == (16, 32, 2)
+
+    def test_strict_rejects_unmodeled_tensors(self):
+        """A graph with a submodule we don't model must fail loudly."""
+        import pytest as _pytest
+
+        torch.manual_seed(0)
+        tm = _TorchS3().eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        sd["mystery_adapter.weight"] = np.zeros((32, 32), np.float32)
+        cfg = S3TokenizerConfig(n_mels=16, d_model=32, num_heads=4, num_layers=2,
+                                use_fsq=True, fsq_levels=(3,) * 8, token_rate_div=2)
+        s3 = S3Tokenizer(cfg)
+        template = s3.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16)), jnp.asarray([8]))
+        with _pytest.raises(ValueError, match="not consumed"):
+            convert_s3_tokenizer(sd, template)
+        # and strict=False converts as before
+        convert_s3_tokenizer(sd, template, strict=False)

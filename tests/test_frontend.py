@@ -107,6 +107,28 @@ class TestFrontendPipeline:
         out = fe.frontend_zero_shot("hello.", "", prompt, zero_shot_spk_id="spk1")
         assert "flow_embedding" in out and "text_tokens" in out
 
+    def test_anonymous_prompt_cache(self):
+        """Repeated zero-shot requests with the same (prompt_text, wav) reuse
+        the extracted features (no S3/CAM++ re-run); a different wav does
+        not."""
+        from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+
+        fe = CosyVoiceFrontEnd()
+        rng = np.random.default_rng(3)
+        wav_a = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+        wav_b = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+        out1 = fe.frontend_zero_shot("first text.", "p.", wav_a)
+        assert len(fe._prompt_cache) == 1
+        calls = {"n": 0}
+        orig = fe._extract_speech_token
+        fe._extract_speech_token = lambda *a, **k: calls.__setitem__("n", calls["n"] + 1) or orig(*a, **k)
+        out2 = fe.frontend_zero_shot("second text.", "p.", wav_a)
+        assert calls["n"] == 0  # cache hit: tokenizer not re-run
+        np.testing.assert_array_equal(out1["flow_prompt_speech_token"], out2["flow_prompt_speech_token"])
+        assert not np.array_equal(out1["text_tokens"], out2["text_tokens"])  # text NOT cached
+        fe.frontend_zero_shot("third.", "p.", wav_b)
+        assert calls["n"] == 1  # different wav: features recomputed
+
 
 class TestReferenceGolden:
     """Golden parity against the reference's actual frontend_utils (imported
