@@ -206,6 +206,12 @@ class RemoteEngine:
         self.token_mel_ratio = token_mel_ratio
         self.seed = seed
         self.scheduler = None
+        # the borrowed CosyVoice2Engine.tts records a "first_chunk" stage on
+        # self.timer (engine.py); the gateway gets its own StageTimer so that
+        # metric exists here too (gateway-side first-chunk, RPC-inclusive)
+        from cosyvoice_tpu.utils.profiling import StageTimer
+
+        self.timer = StageTimer()
         self._streams = {}  # id(state) -> _T2WStream
         self._gen_tokens = llm_channel.unary_stream(
             "/cosyvoice_tpu.CosyVoiceLLM/GenerateTokens",
