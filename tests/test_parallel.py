@@ -18,6 +18,34 @@ class TestMultichip:
 
         ge.dryrun_multichip(8)
 
+    @pytest.mark.slow
+    def test_dryrun_survives_preinitialized_backend(self):
+        """r1 failure mode: an importer initializes a 1-device backend before
+        dryrun_multichip runs. The scrubbed-env subprocess must still deliver
+        an 8-device mesh."""
+        import os
+        import re
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        # parent gets NO host-device-count flag -> its CPU client has 1 device
+        env["XLA_FLAGS"] = re.sub(
+            r"--xla_force_host_platform_device_count=\d+", "", env.get("XLA_FLAGS", "")
+        ).strip()
+        env["JAX_PLATFORMS"] = "cpu"
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');\n"
+            "assert len(jax.devices()) == 1, jax.devices()  # backend now pinned small\n"
+            "import __graft_entry__ as ge; ge.dryrun_multichip(8); print('OK8')\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), timeout=1500,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        assert "OK8" in proc.stdout and "ok" in proc.stdout
+
     def test_entry_compiles(self):
         import __graft_entry__ as ge
 
