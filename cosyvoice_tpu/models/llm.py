@@ -321,13 +321,25 @@ class Qwen2LM:
                     jnp.arange(c.head_size) != c.fill_token
                 )
                 logp = jnp.where(bad[None, :], -1.0e30, logp)
-            else:
-                # suppress stop ids before min_len. The reference masks only
-                # eos (llm.py:150-160 ignore_eos) and breaks on any stop id;
-                # masking the whole stop range matches the TRT-LLM serving
-                # min_tokens semantics and is robust for v3's 200 stop rows.
+            elif c.special_in_speech_table:
+                # v3 layout: the reference's pre-min_len mask (llm.py:157-158)
+                # suppresses row `speech_token_size`, which in v3 is the SOS
+                # row — i.e. no usable min-len protection for its 200 stop
+                # rows. We mask the whole special range instead (TRT-LLM
+                # min_tokens semantics), a documented improvement.
                 logp = jnp.where(
                     (jnp.arange(c.head_size)[None, :] >= c.speech_token_size) & (n_dec < min_len)[:, None],
+                    -1.0e30,
+                    logp,
+                )
+            else:
+                # v2: exact reference semantics (llm.py:157-158 ignore_eos) —
+                # ONLY eos is suppressed before min_len; the other stop ids
+                # stay samplable and terminate generation even pre-min_len
+                # (llm.py:544-545 `if top_ids in self.stop_token_ids: break`).
+                # Token-stream parity is asserted in tests/test_lm_golden.py.
+                logp = jnp.where(
+                    (jnp.arange(c.head_size)[None, :] == c.eos_token) & (n_dec < min_len)[:, None],
                     -1.0e30,
                     logp,
                 )

@@ -98,10 +98,13 @@ class TestMultichip:
         )
         assert toks.shape == (B, 6)
         assert np.isfinite(np.asarray(logits_n)).all()
-        # cur advances one per non-finished step (a stop id may be sampled
-        # after min_len with random weights)
+        # cur advances one per non-finished step. With random weights any
+        # stop id may be sampled: eos is masked before min_len=4 but the
+        # other stop rows are samplable from step 1 (reference-exact v2
+        # semantics, llm.py:544-545 — see models/llm.py decode-block notes),
+        # so a row may finish after as little as one step.
         adv = np.asarray(cur_n) - np.asarray(cur)
-        assert ((adv >= 4) & (adv <= 6)).all()
+        assert ((adv >= 1) & (adv <= 6)).all()
 
     def test_fsdp_param_spec(self):
         from cosyvoice_tpu.parallel.sharding import fsdp_param_spec, make_mesh
