@@ -75,7 +75,7 @@ def main():
     from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
     from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM, TYPE_SPECIAL, TYPE_SPEECH, TYPE_TEXT
     from cosyvoice_tpu.runtime.engine import CosyVoice2Engine
-    from cosyvoice_tpu.utils.devices import init_on_cpu, to_default_device
+    from cosyvoice_tpu.utils.devices import zeros_like_init
 
     K = jax.random.PRNGKey
     rng = np.random.default_rng(0)
@@ -87,16 +87,17 @@ def main():
     flow = CausalFlow(FlowConfig(dtype=jnp.bfloat16, estimator=EstimatorConfig(dtype=jnp.bfloat16)))
     hift = HiFTGenerator(HiFTConfig())
 
+    # weight VALUES don't change FLOPs/latency, so params are materialized as
+    # on-device zeros from eval_shape — replaces the r2 init path (CPU-side
+    # flax init of 0.5B + ~2 GB device_put through the tunnel = 494 s init_s)
+    # with sub-second device programs
     t0 = time.time()
-    with init_on_cpu():
-        lm_params = lm.init(K(0))
-        flow_params = flow.init(K(1))
-        hift_params = hift.init(K(2), jnp.zeros((1, 8, 80)), K(3))
-    lm_params = to_default_device(lm_params)
-    flow_params = to_default_device(flow_params)
-    hift_params = to_default_device(hift_params)
+    lm_params = zeros_like_init(lm.init, K(0))
+    flow_params = zeros_like_init(flow.init, K(1))
+    hift_params = zeros_like_init(hift.init, K(2), jnp.zeros((1, 8, 80)), K(3))
     _sync(jax.tree_util.tree_leaves(lm_params)[0])
     init_s = time.time() - t0
+    print(f"# init {init_s:.1f}s", flush=True)
 
     engine = CosyVoice2Engine(lm, flow, hift, lm_params, flow_params, hift_params, token_bucket=32)
 
@@ -164,9 +165,7 @@ def main():
     import dataclasses
 
     q_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant=True)))
-    with init_on_cpu():
-        q_params = q_lm.init(K(0))  # values don't affect latency
-    q_params = to_default_device(q_params)
+    q_params = zeros_like_init(q_lm.init, K(0))  # values don't affect latency
     lm_dev_int8_s = lm_block_time(q_lm, q_params, n_tokens)
     print(f"# lm_dev_int8 {lm_dev_int8_s:.4f}", flush=True)
 
@@ -280,9 +279,10 @@ def main():
     }
     print(json.dumps(result), flush=True)
 
-    # ---- optional sections behind a deadline: each updates `result` and the
-    # extended JSON line is re-printed at the end (same metric/value, extra
-    # keys only — safe whichever line the driver parses). ----
+    # ---- quant extras: UNCONDITIONAL (r2 lost them to the deadline when
+    # init_s ate the budget; with zeros_like_init they cost seconds and run
+    # before any wall-clock section can blow the budget). Each failure is
+    # isolated; the extended JSON line is re-printed after this block. ----
     budget_s = float(os.environ.get("COSY_BENCH_BUDGET_S", "420"))
     deadline = _T_START + budget_s
 
@@ -291,49 +291,48 @@ def main():
 
     # int4p: fused Pallas decode kernels (ops/int4_fused.py) — half the int8
     # weight bytes at near-int8 decode speed
-    if have(90):
-        try:
-            q4_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant="int4p")))
-            with init_on_cpu():
-                q4_params = q4_lm.init(K(0))
-            q4_params = to_default_device(q4_params)
-            lm_dev_int4p_s = lm_block_time(q4_lm, q4_params, n_tokens)
-            print(f"# lm_dev_int4p {lm_dev_int4p_s:.4f}", flush=True)
-            result["lm_device_s_int4p"] = round(lm_dev_int4p_s, 4)
-            result["rtf_int4p_lm"] = round((lm_dev_int4p_s + t2w_dev_s) / audio_seconds, 4)
-            # A/B the shift-free unpack scheme (trace-time env; a FRESH
-            # Qwen2LM gets fresh jit wrappers so both schemes are measured
-            # in one run)
-            if have(60):
-                os.environ["COSY_INT4_UNPACK"] = "fold"
-                try:
-                    q4f_lm = Qwen2LM(q4_lm.cfg)
-                    lm_dev_int4p_fold_s = lm_block_time(q4f_lm, q4_params, n_tokens)
-                    result["lm_device_s_int4p_fold"] = round(lm_dev_int4p_fold_s, 4)
-                    print(f"# lm_dev_int4p_fold {lm_dev_int4p_fold_s:.4f}", flush=True)
-                except Exception as e:  # noqa: BLE001 — experimental kernel path
-                    print(f"# int4p fold scheme failed: {type(e).__name__}: {e}", flush=True)
-                finally:
-                    os.environ.pop("COSY_INT4_UNPACK", None)
-            del q4_params
-        except Exception as e:  # noqa: BLE001 — optional section
-            print(f"# int4p section failed: {type(e).__name__}: {e}", flush=True)
+    try:
+        q4_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant="int4p")))
+        q4_params = zeros_like_init(q4_lm.init, K(0))
+        lm_dev_int4p_s = lm_block_time(q4_lm, q4_params, n_tokens)
+        print(f"# lm_dev_int4p {lm_dev_int4p_s:.4f}", flush=True)
+        result["lm_device_s_int4p"] = round(lm_dev_int4p_s, 4)
+        result["rtf_int4p_lm"] = round((lm_dev_int4p_s + t2w_dev_s) / audio_seconds, 4)
+        # A/B the shift-free unpack scheme (trace-time env; a FRESH
+        # Qwen2LM gets fresh jit wrappers so both schemes are measured
+        # in one run)
+        if have(60):
+            os.environ["COSY_INT4_UNPACK"] = "fold"
+            try:
+                q4f_lm = Qwen2LM(q4_lm.cfg)
+                lm_dev_int4p_fold_s = lm_block_time(q4f_lm, q4_params, n_tokens)
+                result["lm_device_s_int4p_fold"] = round(lm_dev_int4p_fold_s, 4)
+                print(f"# lm_dev_int4p_fold {lm_dev_int4p_fold_s:.4f}", flush=True)
+            except Exception as e:  # noqa: BLE001 — experimental kernel path
+                print(f"# int4p fold scheme failed: {type(e).__name__}: {e}", flush=True)
+            finally:
+                os.environ.pop("COSY_INT4_UNPACK", None)
+        del q4_params
+    except Exception as e:  # noqa: BLE001 — optional section
+        print(f"# int4p section failed: {type(e).__name__}: {e}", flush=True)
 
     # int8 KV arena (kv_quant=True): halves the arena-read bytes that dominate
     # batched long-context decode; here measured at the bench shapes on the
     # int8-weight LM (the production combo). See ops/decode_attention.py
     # gqa_decode_attention_quant.
-    if have(90):
-        try:
-            kq_lm = Qwen2LM(dataclasses.replace(
-                lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant=True, kv_quant=True)))
-            lm_dev_kvq_s = lm_block_time(kq_lm, q_params, n_tokens)
-            print(f"# lm_dev_kvq {lm_dev_kvq_s:.4f}", flush=True)
-            result["lm_device_s_kvq"] = round(lm_dev_kvq_s, 4)
-            result["rtf_kvq"] = round((lm_dev_kvq_s + t2w_dev_s) / audio_seconds, 4)
-        except Exception as e:  # noqa: BLE001 — optional section
-            print(f"# kv_quant section failed: {type(e).__name__}: {e}", flush=True)
+    try:
+        kq_lm = Qwen2LM(dataclasses.replace(
+            lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant=True, kv_quant=True)))
+        lm_dev_kvq_s = lm_block_time(kq_lm, q_params, n_tokens)
+        print(f"# lm_dev_kvq {lm_dev_kvq_s:.4f}", flush=True)
+        result["lm_device_s_kvq"] = round(lm_dev_kvq_s, 4)
+        result["rtf_kvq"] = round((lm_dev_kvq_s + t2w_dev_s) / audio_seconds, 4)
+    except Exception as e:  # noqa: BLE001 — optional section
+        print(f"# kv_quant section failed: {type(e).__name__}: {e}", flush=True)
     del q_params
+
+    # quant extras are now locked in whatever happens below
+    print(json.dumps(result), flush=True)
 
     # ---- wall-clock end-to-end through the public engine (includes the
     # tunnel: real users on-host would not pay these round trips) ----

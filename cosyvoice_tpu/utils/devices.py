@@ -52,3 +52,21 @@ def to_default_device(tree):
         return tree
     dev = jax.devices()[0]
     return jax.device_put(tree, dev)
+
+
+def zeros_like_init(init_fn, *args, **kwargs):
+    """Materialize an init's param pytree as on-device zeros without running it.
+
+    `jax.eval_shape` gets the shape/dtype tree for free (abstract trace, no
+    compute), then ONE jitted program creates the zero leaves directly on the
+    default device. For benchmarking (where weight values don't change
+    FLOPs/latency) this replaces minutes of host-side init + a multi-GB
+    param transfer through the TPU tunnel with a sub-second device program.
+    TPU matmul latency is data-independent, so zero weights time identically
+    to trained ones; all downstream math (rmsnorm of 0, softmax of equal
+    logits, CFM on zero mel) stays finite."""
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(init_fn, *args, **kwargs)
+    build = jax.jit(lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))
+    return build()

@@ -137,3 +137,31 @@ class TestBistream:
             )
             cur = cur + (seg.stop - seg.start)
         np.testing.assert_allclose(np.asarray(l_inc), np.asarray(l_ref), atol=2e-4)
+
+
+class TestZerosLikeInit:
+    def test_bench_init_contract(self, lm):
+        """bench.py materializes params as on-device zeros (zeros_like_init)
+        instead of running flax init — latency of TPU matmuls is
+        data-independent, so timings are valid IF the zero-weight model still
+        runs finite end-to-end. Assert both halves of that contract: the tree
+        matches real init in structure/shape/dtype, and generate() on
+        all-zero params emits finite logits / valid tokens."""
+        from cosyvoice_tpu.utils.devices import zeros_like_init
+
+        model, real_params = lm
+        z_params = zeros_like_init(model.init, K(0))
+        flat_r = jax.tree_util.tree_leaves_with_path(real_params)
+        flat_z = dict(jax.tree_util.tree_leaves_with_path(z_params))
+        assert len(flat_r) == len(flat_z)
+        for path, leaf in flat_r:
+            assert path in flat_z, path
+            assert flat_z[path].shape == leaf.shape and flat_z[path].dtype == leaf.dtype
+            assert not np.asarray(flat_z[path]).any()
+
+        ids = np.concatenate([[model.cfg.sos_id], np.zeros(4, np.int32), [model.cfg.task_id]]).astype(np.int32)
+        types = np.array([TYPE_SPECIAL] + [TYPE_TEXT] * 4 + [TYPE_SPECIAL], np.int32)
+        out = []
+        for block in model.generate(z_params, ids, types, K(1), min_len=4, max_len=12):
+            out.extend(block.tolist())
+        assert all(0 <= t <= model.cfg.speech_token_size + 200 for t in out)
