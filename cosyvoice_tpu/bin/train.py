@@ -32,7 +32,7 @@ def grouped(it, n: int):
             buf = []
 
 
-def build_pipeline(args, tokenizer, gan: bool = False):
+def build_pipeline(args, tokenizer, gan: bool = False, truncate_length: int = 24480):
     from cosyvoice_tpu.data import processor as P
 
     pipe = [
@@ -42,7 +42,7 @@ def build_pipeline(args, tokenizer, gan: bool = False):
         partial(P.resample, resample_rate=args.sample_rate),
     ]
     if gan:
-        pipe.append(partial(P.truncate, truncate_length=24480))
+        pipe.append(partial(P.truncate, truncate_length=truncate_length))
     pipe += [
         partial(P.compute_fbank, sample_rate=args.sample_rate, hop=args.mel_hop),
     ]
@@ -317,10 +317,20 @@ def main():
         from cosyvoice_tpu.utils.config import build_hift_config
 
         hift = HiFTGenerator(build_hift_config(cfg.get("hift")))
-        disc = MultipleDiscriminator()
+        # optional "gan" config section: discriminator widths + clip length
+        # (the reference hardcodes both, hifigan.yaml; tiny hermetic/CI runs
+        # shrink them)
+        gan_cfg = cfg.get("gan", {})
+        truncate_length = int(gan_cfg.get("truncate_length", 24480))
+        disc = MultipleDiscriminator(
+            mpd_channels=tuple(gan_cfg.get("mpd_channels", (32, 128, 512, 1024))),
+            mrd_resolutions=tuple(
+                tuple(r) for r in gan_cfg.get("mrd_resolutions", ((1024, 120), (2048, 240), (512, 50)))
+            ),
+        )
         with init_on_cpu():
             gen_params = hift.init(key, jnp.zeros((1, 8, 80)), key)
-            disc_params = disc.init(key, jnp.zeros((1, 24480)))
+            disc_params = disc.init(key, jnp.zeros((1, truncate_length)))
         # resume: accept either a {"generator","discriminator"} GAN checkpoint
         # or a bare generator tree (a converted pretrained hift.msgpack)
         if args.checkpoint and os.path.exists(args.checkpoint):
@@ -346,7 +356,11 @@ def main():
         )
         g_state, d_state = g_opt.init(gen_params), d_opt.init(disc_params)
 
-        dataset = Dataset(args.train_data, build_pipeline(args, tokenizer, gan=True), rank=rank, world_size=world)
+        dataset = Dataset(
+            args.train_data,
+            build_pipeline(args, tokenizer, gan=True, truncate_length=truncate_length),
+            rank=rank, world_size=world,
+        )
         # model_name matches the recipes' --model_name hifigan in averaging
         executor = Executor(lambda *a: a, args.model_dir, model_name="hifigan",
                             log_interval=args.log_interval, rank=rank)

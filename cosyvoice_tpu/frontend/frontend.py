@@ -34,14 +34,15 @@ class CosyVoiceFrontEnd:
         campplus_params=None,
         rng_seed: int = 0,
         version: int = 2,
+        s3_cfg: Optional[S3TokenizerConfig] = None,
     ):
         self.tokenizer = tokenizer or get_tokenizer(token_path, version=version)
         self.sample_rate = sample_rate
         self.token_frame_rate = token_frame_rate
-        self.speech_tokenizer = S3Tokenizer(S3TokenizerConfig())
+        self.speech_tokenizer = S3Tokenizer(s3_cfg or S3TokenizerConfig())
         self.campplus = CamPPEmbedding()
         k1, k2 = jax.random.split(jax.random.PRNGKey(rng_seed))
-        mel0 = jnp.zeros((1, 100, 128))
+        mel0 = jnp.zeros((1, 100, self.speech_tokenizer.cfg.n_mels))
         self.speech_tokenizer_params = tokenizer_params or self.speech_tokenizer.init(
             k1, mel0, jnp.asarray([100])
         )
@@ -80,7 +81,7 @@ class CosyVoiceFrontEnd:
     def _extract_speech_token(self, speech_16k: np.ndarray) -> np.ndarray:
         """speech_16k: [1, L] float32 @16 kHz -> [T_tok] int32 (25 Hz)."""
         assert speech_16k.shape[1] / 16000 <= 30, "do not support audio longer than 30s"
-        mel = whisper_log_mel(jnp.asarray(speech_16k))  # [1, 128, T]
+        mel = whisper_log_mel(jnp.asarray(speech_16k), n_mels=self.speech_tokenizer.cfg.n_mels)
         mel = jnp.swapaxes(mel, 1, 2)
         tokens, tok_len = self._jit_tokenize(self.speech_tokenizer_params, mel, jnp.asarray([mel.shape[1]]))
         return np.asarray(tokens[0, : int(tok_len[0])], np.int32)

@@ -24,6 +24,7 @@ class PeriodDiscriminator(nn.Module):
     """One MPD branch: fold wav into [T/p, p] and run strided 2D convs."""
 
     period: int
+    channels: Tuple[int, ...] = (32, 128, 512, 1024)
 
     @nn.compact
     def __call__(self, x):
@@ -33,11 +34,11 @@ class PeriodDiscriminator(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, pad)), mode="reflect" if L > 1 else "constant")
         x = x.reshape(B, -1, self.period, 1)  # [B, T/p, p, 1]
         fmaps = []
-        for i, ch in enumerate((32, 128, 512, 1024)):
+        for i, ch in enumerate(self.channels):
             x = nn.Conv(ch, (5, 1), strides=(3, 1), padding=((2, 2), (0, 0)), name=f"conv_{i}")(x)
             x = jax.nn.leaky_relu(x, 0.1)
             fmaps.append(x)
-        x = nn.Conv(1024, (5, 1), padding=((2, 2), (0, 0)), name="conv_4")(x)
+        x = nn.Conv(self.channels[-1], (5, 1), padding=((2, 2), (0, 0)), name="conv_4")(x)
         x = jax.nn.leaky_relu(x, 0.1)
         fmaps.append(x)
         x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)), name="conv_post")(x)
@@ -47,12 +48,13 @@ class PeriodDiscriminator(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    channels: Tuple[int, ...] = (32, 128, 512, 1024)
 
     @nn.compact
     def __call__(self, x):
         outs, fmaps = [], []
         for p in self.periods:
-            o, f = PeriodDiscriminator(p, name=f"mpd_{p}")(x)
+            o, f = PeriodDiscriminator(p, self.channels, name=f"mpd_{p}")(x)
             outs.append(o)
             fmaps.extend(f)
         return outs, fmaps
@@ -93,10 +95,19 @@ class MultiResSpecDiscriminator(nn.Module):
 
 
 class MultipleDiscriminator(nn.Module):
-    """MPD + MRSD ensemble (discriminator.py:15-35)."""
+    """MPD + MRSD ensemble (discriminator.py:15-35).
+
+    `mpd_channels` scales the MPD conv widths — the reference hardcodes
+    (32, 128, 512, 1024); tiny-footprint training (hermetic quality runs,
+    CI) shrinks it without changing the ensemble topology.
+    """
+
+    mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    mpd_channels: Tuple[int, ...] = (32, 128, 512, 1024)
+    mrd_resolutions: Tuple[Tuple[int, int], ...] = ((1024, 120), (2048, 240), (512, 50))
 
     @nn.compact
     def __call__(self, x):
-        o1, f1 = MultiPeriodDiscriminator(name="mpd")(x)
-        o2, f2 = MultiResSpecDiscriminator(name="mrd")(x)
+        o1, f1 = MultiPeriodDiscriminator(self.mpd_periods, self.mpd_channels, name="mpd")(x)
+        o2, f2 = MultiResSpecDiscriminator(self.mrd_resolutions, name="mrd")(x)
         return o1 + o2, f1 + f2

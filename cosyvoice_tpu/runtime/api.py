@@ -50,6 +50,53 @@ def _read_dir_config(model_dir: str) -> dict:
     return {}
 
 
+def load_frontend(model_dir: str = "", sample_rate: int = 24000, version: int = 2):
+    """Build a CosyVoiceFrontEnd from a model dir.
+
+    A model dir may carry converted/trained frontend models (the reference
+    ships speech_tokenizer_v2.onnx + campplus.onnx in every model dir,
+    cli/frontend.py:45-48): `speech_tokenizer.msgpack` / `campplus.msgpack`
+    params plus a config.json "frontend": {"s3": ...} section describing the
+    S3 architecture (as derived from the ONNX graph by
+    tools.convert_checkpoint.s3_config_from_weights). Missing pieces fall
+    back to seeded random init, matching the data-prep tools."""
+    from cosyvoice_tpu.frontend.tokenizer import find_tokenizer_assets
+    from cosyvoice_tpu.models.campplus import CamPPEmbedding
+    from cosyvoice_tpu.models.speech_tokenizer import S3Tokenizer, S3TokenizerConfig
+
+    file_cfg = _read_dir_config(model_dir)
+    fe_cfg = file_cfg.get("frontend", {})
+    s3_cfg = None
+    if fe_cfg.get("s3"):
+        from cosyvoice_tpu.utils.config import build_s3_config
+
+        s3_cfg = build_s3_config(fe_cfg["s3"])
+
+    def _maybe_params(name, module, *init_args):
+        path = os.path.join(model_dir, f"{name}.msgpack") if model_dir else ""
+        if path and os.path.exists(path):
+            template = module.init(*init_args)
+            logging.info("loaded frontend %s", path)
+            return _load_msgpack(path, template)
+        return None
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    s3 = S3Tokenizer(s3_cfg or S3TokenizerConfig())
+    s3_params = _maybe_params(
+        "speech_tokenizer", s3, k1, jnp.zeros((1, 100, s3.cfg.n_mels)), jnp.asarray([100])
+    )
+    cam_params = _maybe_params("campplus", CamPPEmbedding(), k2, jnp.zeros((1, 100, 80)))
+    return CosyVoiceFrontEnd(
+        token_path=find_tokenizer_assets(model_dir),
+        sample_rate=sample_rate,
+        spk2info_path=os.path.join(model_dir, "spk2info.pkl") if model_dir else "",
+        s3_cfg=s3_cfg,
+        tokenizer_params=s3_params,
+        campplus_params=cam_params,
+        version=version,
+    )
+
+
 class CosyVoice2:
     sample_rate = 24000
 
@@ -124,13 +171,7 @@ class CosyVoice2:
         speaker cache). Used stand-alone by the disaggregated-serving gateway,
         which replaces `self.engine` with a RemoteEngine."""
         self.model_dir = model_dir
-        from cosyvoice_tpu.frontend.tokenizer import find_tokenizer_assets
-
-        self.frontend = CosyVoiceFrontEnd(
-            token_path=find_tokenizer_assets(model_dir),
-            sample_rate=self.sample_rate,
-            spk2info_path=os.path.join(model_dir, "spk2info.pkl") if model_dir else "",
-        )
+        self.frontend = load_frontend(model_dir, sample_rate=self.sample_rate)
 
     # ---------------- speaker cache ----------------
     def list_available_spks(self):
@@ -281,6 +322,12 @@ class CosyVoice2:
         _save_msgpack(os.path.join(out_dir, "lm.msgpack"), self.lm_params)
         _save_msgpack(os.path.join(out_dir, "flow.msgpack"), self.flow_params)
         _save_msgpack(os.path.join(out_dir, "hift.msgpack"), self.hift_params)
+        # frontend models too, so the dir round-trips self-contained (the
+        # reference ships the ONNX pair in every model dir)
+        _save_msgpack(
+            os.path.join(out_dir, "speech_tokenizer.msgpack"), self.frontend.speech_tokenizer_params
+        )
+        _save_msgpack(os.path.join(out_dir, "campplus.msgpack"), self.frontend.campplus_params)
 
 
 class CosyVoice:
@@ -337,14 +384,7 @@ class CosyVoice:
             if path and os.path.exists(path):
                 template = _load_msgpack(path, template)
             setattr(self, f"{name}_params", to_default_device(template))
-        from cosyvoice_tpu.frontend.tokenizer import find_tokenizer_assets
-
-        self.frontend = CosyVoiceFrontEnd(
-            token_path=find_tokenizer_assets(model_dir),
-            sample_rate=self.sample_rate,
-            spk2info_path=os.path.join(model_dir, "spk2info.pkl") if model_dir else "",
-            version=1,
-        )
+        self.frontend = load_frontend(model_dir, sample_rate=self.sample_rate, version=1)
         self.engine = CosyVoiceV1Engine(
             self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed
         )

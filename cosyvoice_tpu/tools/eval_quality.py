@@ -39,6 +39,13 @@ def main():
     parser.add_argument("--asr", default="", help="module:function -> fn(wav, sr) -> str")
     parser.add_argument("--out_dir", default="", help="optionally save synthesized wavs")
     parser.add_argument("--max_utts", type=int, default=0)
+    parser.add_argument(
+        "--ref_scp", default="",
+        help="'{utt}_{i} wav-path' ground-truth wavs per tts text; enables the "
+        "hermetic proxies: token_recovery (re-tokenize the synth audio with the "
+        "model's own S3 tokenizer, compare against the ground truth's tokens) "
+        "and mel_corr (Pearson correlation of the log-mels)",
+    )
     args = parser.parse_args()
 
     from cosyvoice_tpu.runtime.api import AutoModel
@@ -54,10 +61,15 @@ def main():
     tts_text = json.load(open(args.tts_text))
     utt2wav = dict(line.split(maxsplit=1) for line in open(args.prompt_scp).read().splitlines())
     utt2text = dict(line.split(maxsplit=1) for line in open(args.prompt_text).read().splitlines())
+    ref_scp = (
+        dict(line.split(maxsplit=1) for line in open(args.ref_scp).read().splitlines())
+        if args.ref_scp
+        else {}
+    )
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
 
-    sims, cers, n = [], [], 0
+    sims, cers, recov, mcorr, n = [], [], [], [], 0
     for utt, texts in tts_text.items():
         if utt not in utt2wav or utt not in utt2text:
             continue
@@ -85,6 +97,24 @@ def main():
             if asr_fn is not None:
                 hyp = asr_fn(wav.reshape(-1), model.sample_rate)
                 cers.append(cer(hyp, text))
+            ref_path = ref_scp.get(f"{utt}_{i}", "").strip()
+            if ref_path:
+                ref_24k = load_wav(ref_path, model.sample_rate)
+                ref_16k = resample_poly(ref_24k.reshape(-1), 16000, model.sample_rate).astype(np.float32)
+                # (a) speech-token recovery: the model's own S3 tokenizer must
+                # read the SAME codes off the synthesized audio as off the
+                # ground truth (the strongest hermetic intelligibility proxy)
+                t_syn = model.frontend._extract_speech_token(synth_16k.reshape(1, -1))
+                t_ref = model.frontend._extract_speech_token(ref_16k.reshape(1, -1))
+                L = min(len(t_syn), len(t_ref))
+                recov.append(float(np.mean(t_syn[:L] == t_ref[:L])) if L else 0.0)
+                # (b) log-mel Pearson correlation over the overlapping frames
+                m_syn = model.frontend._extract_speech_feat(wav.reshape(1, -1))[0]
+                m_ref = model.frontend._extract_speech_feat(ref_24k)[0]
+                F = min(m_syn.shape[0], m_ref.shape[0])
+                a, b = m_syn[:F].reshape(-1), m_ref[:F].reshape(-1)
+                a, b = a - a.mean(), b - b.mean()
+                mcorr.append(float((a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)))
             n += 1
             if args.max_utts and n >= args.max_utts:
                 break
@@ -95,6 +125,8 @@ def main():
         "n": n,
         "speaker_similarity": float(np.mean(sims)) if sims else None,
         "cer": float(np.mean(cers)) if cers else None,
+        "token_recovery": float(np.mean(recov)) if recov else None,
+        "mel_corr": float(np.mean(mcorr)) if mcorr else None,
     }))
 
 

@@ -14,14 +14,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dir", required=True, help="kaldi-style dir with wav.scp and utt2spk")
     parser.add_argument("--num_thread", type=int, default=8)
+    parser.add_argument("--model_dir", default="", help="model dir with converted "
+                        "campplus.msgpack (the reference's --onnx_path campplus.onnx role)")
     args = parser.parse_args()
 
-    import jax
-
-    from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+    from cosyvoice_tpu.runtime.api import load_frontend
     from cosyvoice_tpu.utils.audio_io import load_wav
 
-    fe = CosyVoiceFrontEnd()
+    fe = load_frontend(args.model_dir)
     utt2wav = dict(line.split(maxsplit=1) for line in open(f"{args.dir}/wav.scp").read().splitlines())
     utt2spk = dict(line.split(maxsplit=1) for line in open(f"{args.dir}/utt2spk").read().splitlines())
 

@@ -10,12 +10,15 @@ def main():
     honor_env_platforms()
     parser = argparse.ArgumentParser()
     parser.add_argument("--dir", required=True)
+    parser.add_argument("--model_dir", default="", help="model dir with converted "
+                        "speech_tokenizer.msgpack + config.json frontend.s3 section "
+                        "(the reference's --onnx_path speech_tokenizer_v2.onnx role)")
     args = parser.parse_args()
 
-    from cosyvoice_tpu.frontend.frontend import CosyVoiceFrontEnd
+    from cosyvoice_tpu.runtime.api import load_frontend
     from cosyvoice_tpu.utils.audio_io import load_wav
 
-    fe = CosyVoiceFrontEnd()
+    fe = load_frontend(args.model_dir)
     utt2wav = dict(line.split(maxsplit=1) for line in open(f"{args.dir}/wav.scp").read().splitlines())
     utt2token = {}
     for utt, path in utt2wav.items():

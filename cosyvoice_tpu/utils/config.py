@@ -84,6 +84,15 @@ def build_lm_v1_config(d: Optional[Dict[str, Any]] = None):
     return build_dataclass(LMv1Config, d)
 
 
+def build_s3_config(d: Optional[Dict[str, Any]] = None):
+    """config.json "frontend": {"s3": {...}} section -> S3TokenizerConfig
+    (converted model dirs record the graph-derived config; hermetic/test
+    dirs record their tiny config)."""
+    from cosyvoice_tpu.models.speech_tokenizer import S3TokenizerConfig
+
+    return build_dataclass(S3TokenizerConfig, d)
+
+
 def build_flow_v1_config(d: Optional[Dict[str, Any]] = None):
     from cosyvoice_tpu.models.flow_decoder import EstimatorConfig
     from cosyvoice_tpu.models.flow_matching import CFMConfig

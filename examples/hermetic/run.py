@@ -1,0 +1,190 @@
+"""Hermetic quality pipeline: corpus -> train tiny v2 stack -> eval numbers.
+
+The in-image counterpart of the reference's SEED quality contract
+(/root/reference/README.md:62-81): real released checkpoints do not exist
+here, so quality is evidenced by OVERFITTING the full v2 stack (Qwen2 LM +
+causal flow + HiFT GAN, each through the real bin/train.py recipe path) on
+the synthetic corpus of examples/hermetic/corpus.py and scoring the full
+zero-shot engine with tools/eval_quality.py:
+
+  cer               template-ASR CER vs the requested text (SenseVoice role)
+  speaker_similarity CAM++ x-vector cosine, prompt vs synthesis (SS column)
+  token_recovery    S3 re-tokenization of synth audio vs ground truth tokens
+  mel_corr          log-mel Pearson correlation vs ground truth audio
+
+Every stage uses the production entry points (make_parquet_list, bin.train,
+runtime.api.AutoModel, tools.eval_quality) — nothing is mocked.
+
+Usage:
+  python -m examples.hermetic.run --work /tmp/hermetic \
+      [--n_utts 32] [--lm_epochs 60] [--flow_epochs 60] [--gan_epochs 40] \
+      [--check]   # assert quality thresholds (exit non-zero on miss)
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIG = {
+    "version": 2,
+    "llm": {
+        "speech_token_size": 81,
+        "block_size": 8,
+        "qwen": {
+            "hidden_size": 64, "num_layers": 2, "num_heads": 4, "num_kv_heads": 2,
+            "head_dim": 16, "intermediate_size": 128, "vocab_size": 300,
+            "max_cache_len": 512, "dtype": "float32",
+        },
+    },
+    "flow": {
+        "input_size": 64, "vocab_size": 81, "attention_heads": 2, "linear_units": 128,
+        "num_blocks": 2, "num_up_blocks": 1,
+        "estimator": {
+            "channels": [64], "attention_head_dim": 16, "n_blocks": 1,
+            "num_mid_blocks": 2, "num_heads": 2, "static_chunk_size": 10, "causal": True,
+        },
+        "cfm": {"n_timesteps": 10},
+    },
+    "hift": {
+        "base_channels": 48, "resblock_kernel_sizes": [3, 7],
+        "resblock_dilations": [[1, 3], [1, 3]],
+        "source_resblock_kernel_sizes": [7, 7, 11],
+        "source_resblock_dilations": [[1], [1], [1]],
+    },
+    "frontend": {
+        "s3": {
+            "n_mels": 32, "d_model": 32, "num_heads": 2, "num_layers": 1,
+            "fsq_levels": [3, 3, 3, 3], "codebook_size": 81, "use_fsq": True,
+        }
+    },
+    "gan": {"truncate_length": 11520, "mpd_channels": [16, 32, 64, 64],
+            "mrd_resolutions": [[512, 120], [1024, 240]]},
+    "train": {"sample_rate": 24000, "mel_hop": 480, "batch_type": "static",
+              "batch_size": 8, "accum_grad": 1, "scheduler": "constantlr",
+              "warmup_steps": 1, "log_interval": 200, "grad_clip": 5.0},
+}
+
+
+def sh(cmd, **env):
+    e = {**os.environ, "JAX_PLATFORMS": os.environ.get("COSY_TEST_PLATFORM", "cpu"),
+         "PYTHONPATH": REPO, **{k: str(v) for k, v in env.items()}}
+    print("+", " ".join(cmd), flush=True)
+    r = subprocess.run(cmd, cwd=REPO, env=e, capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-6000:])
+        raise RuntimeError(f"step failed: {' '.join(cmd[:6])}")
+    return r.stdout
+
+
+def latest_ckpt(exp_dir: str, model_name: str) -> str:
+    cands = []
+    for p in glob.glob(os.path.join(exp_dir, f"{model_name}_epoch*_step*.msgpack")):
+        m = re.search(r"epoch(\d+)_step(\d+)", p)
+        cands.append(((int(m.group(1)), int(m.group(2))), p))
+    if not cands:
+        raise FileNotFoundError(f"no {model_name} checkpoints in {exp_dir}")
+    return max(cands)[1]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--n_utts", type=int, default=32)
+    ap.add_argument("--lm_epochs", type=int, default=60)
+    ap.add_argument("--flow_epochs", type=int, default=60)
+    ap.add_argument("--gan_epochs", type=int, default=40)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--max_eval_utts", type=int, default=6)
+    ap.add_argument("--check", action="store_true", help="assert quality thresholds")
+    ap.add_argument("--out_json", default="", help="also write the metrics JSON here")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from examples.hermetic.corpus import make_corpus, prep_features
+
+    work = os.path.abspath(args.work)
+    model_dir = os.path.join(work, "model")
+    data_dir = os.path.join(work, "data")
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(CONFIG, f, indent=1)
+
+    # 1. corpus + features through the model dir's (seeded) frontend; persist
+    # the frontend weights so the dir is self-contained
+    make_corpus(data_dir, n_utts=args.n_utts)
+    import flax.serialization as ser
+
+    from cosyvoice_tpu.runtime.api import load_frontend
+
+    fe = load_frontend(model_dir)
+    for name, params in (("speech_tokenizer", fe.speech_tokenizer_params),
+                         ("campplus", fe.campplus_params)):
+        with open(os.path.join(model_dir, f"{name}.msgpack"), "wb") as f:
+            f.write(ser.to_bytes(params))
+    prep_features(data_dir, model_dir)
+
+    # 2. parquet shards (the recipe's data packing step)
+    sh([sys.executable, "-m", "cosyvoice_tpu.tools.make_parquet_list",
+        "--src_dir", data_dir, "--des_dir", os.path.join(work, "parquet"),
+        "--num_utts_per_parquet", "16"])
+    data_list = os.path.join(work, "parquet", "data.list")
+
+    # 3. train each sub-model through the production recipe entry
+    cfg_path = os.path.join(model_dir, "config.json")
+    for model, epochs, lr in (("llm", args.lm_epochs, args.lr),
+                              ("flow", args.flow_epochs, args.lr),
+                              ("hifigan", args.gan_epochs, None)):
+        exp = os.path.join(work, f"exp_{model}")
+        cmd = [sys.executable, "-m", "cosyvoice_tpu.bin.train", "--config", cfg_path,
+               "--model", model, "--train_data", data_list, "--model_dir", exp,
+               "--max_epoch", str(epochs)]
+        if lr is not None:
+            cmd += ["--lr", str(lr)]
+        sh(cmd)
+
+    # 4. assemble the model dir (reference model-dir layout: llm/flow/hift)
+    import shutil
+
+    shutil.copy(latest_ckpt(os.path.join(work, "exp_llm"), "llm"),
+                os.path.join(model_dir, "lm.msgpack"))
+    shutil.copy(latest_ckpt(os.path.join(work, "exp_flow"), "flow"),
+                os.path.join(model_dir, "flow.msgpack"))
+    gan_blob = open(latest_ckpt(os.path.join(work, "exp_hifigan"), "hifigan"), "rb").read()
+    gen = ser.msgpack_restore(gan_blob)["generator"]
+    with open(os.path.join(model_dir, "hift.msgpack"), "wb") as f:
+        f.write(ser.to_bytes(gen))
+
+    # 5. quality numbers through the real eval harness
+    eval_dir = os.path.join(data_dir, "eval")
+    out = sh([sys.executable, "-m", "cosyvoice_tpu.tools.eval_quality",
+              "--model_dir", model_dir,
+              "--tts_text", os.path.join(eval_dir, "tts_text.json"),
+              "--prompt_scp", os.path.join(eval_dir, "wav.scp"),
+              "--prompt_text", os.path.join(eval_dir, "text"),
+              "--ref_scp", os.path.join(eval_dir, "ref.scp"),
+              "--asr", "examples.hermetic.template_asr:transcribe",
+              "--max_utts", str(args.max_eval_utts),
+              "--out_dir", os.path.join(work, "synth")],
+             HERMETIC_DIR=data_dir)
+    metrics = json.loads(out.strip().splitlines()[-1])
+    print(json.dumps(metrics))
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(metrics, f)
+    if args.check:
+        assert metrics["n"] >= 1
+        assert metrics["cer"] <= 0.6, metrics
+        assert metrics["token_recovery"] >= 0.3, metrics
+        assert metrics["mel_corr"] >= 0.5, metrics
+        assert metrics["speaker_similarity"] >= 0.5, metrics
+        print("quality thresholds PASSED")
+
+
+if __name__ == "__main__":
+    main()
