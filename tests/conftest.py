@@ -14,3 +14,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", os.environ.get("COSY_TEST_PLATFORM", "cpu"))
+
+# Persistent XLA compile cache for the suite: compile time dominates the gate
+# on a small-host rig (the models are tiny; the programs are many), and the
+# same programs recompile on every pytest invocation. The cache is keyed on
+# HLO + compile options, so correctness is unaffected; min_compile_time=0.3 s
+# catches the mid-size programs that add up. First (cold) run pays full
+# compile; every rerun of the fast gate is then compile-free.
+if os.environ.get("COSY_TEST_NO_CACHE", "") != "1":
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                              ".jax_cache_tests")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
