@@ -136,6 +136,93 @@ def make_corpus(out_dir: str, n_utts: int = 32, seed: int = 0):
     return out_dir
 
 
+def train_tokenizer(fe, wavs_16k, frame_labels, steps: int = 500, lr: float = 3e-3,
+                    seed: int = 0):
+    """Supervised S3-tokenizer training, in place — the hermetic counterpart
+    of the ASR supervision the reference tokenizer received (speech_tokenizer
+    v2 is distilled from a supervised ASR encoder).
+
+    A RANDOM-init tokenizer collapses the FSQ code space (measured: 3 codes
+    carry 83% of corpus frames and the 8 corpus words map to near-identical
+    sequences), destroying the content channel the hermetic quality metrics
+    depend on; a linear LDA re-fit of fsq_proj alone cannot undo the encoder's
+    attention mixing (21/48 in-context word id). So train the REAL
+    S3Tokenizer trunk end-to-end with a per-frame word-classification head on
+    the noise-regularized tanh(fsq_proj) bottleneck: after training, the
+    rounded FSQ codes carry word identity by construction. The head is
+    discarded; every downstream consumer keeps the production S3 graph.
+
+    wavs_16k: float32 [L] arrays @16 kHz; frame_labels: per-wav int arrays at
+    the 25 Hz token rate (-1 = unsupervised frame, e.g. word boundaries).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cosyvoice_tpu.ops.mel import whisper_log_mel
+
+    mod = fe.speech_tokenizer
+    c = mod.cfg
+    mels, labs = [], []
+    for w16, fl in zip(wavs_16k, frame_labels):
+        mel = jnp.swapaxes(
+            whisper_log_mel(jnp.asarray(w16).reshape(1, -1), n_mels=c.n_mels), 1, 2
+        )
+        mels.append(np.asarray(mel[0], np.float32))
+        labs.append(np.asarray(fl, np.int32))
+    T = max(m.shape[0] for m in mels)
+    n_cls = int(max(l.max() for l in labs)) + 1
+    T_tok = (T + 1) // 2
+    if c.token_rate_div > 1:
+        T_tok = (T_tok + c.token_rate_div - 1) // c.token_rate_div
+    X = np.zeros((len(mels), T, c.n_mels), np.float32)
+    Y = np.full((len(mels), T_tok), -1, np.int32)
+    L = np.zeros((len(mels),), np.int32)
+    for i, (m, l) in enumerate(zip(mels, labs)):
+        X[i, : m.shape[0]] = m
+        L[i] = m.shape[0]
+        Y[i, : min(T_tok, len(l))] = l[:T_tok]
+
+    half = jnp.asarray((np.asarray(c.fsq_levels) - 1) / 2.0, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    k_head, key = jax.random.split(key)
+    params = {
+        "s3": fe.speech_tokenizer_params["params"],
+        "head": {
+            "w": 0.1 * jax.random.normal(k_head, (len(c.fsq_levels), n_cls), jnp.float32),
+            "b": jnp.zeros((n_cls,), jnp.float32),
+        },
+    }
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    Xj, Yj, Lj = jnp.asarray(X), jnp.asarray(Y), jnp.asarray(L)
+
+    def loss_fn(p, rng):
+        _, inter = mod.apply({"params": p["s3"]}, Xj, Lj, capture_intermediates=True)
+        proj = inter["intermediates"]["fsq_proj"]["__call__"][0]  # [B, T_tok, k]
+        z = jnp.tanh(proj)
+        # quantization-aware regularization: half-a-bin uniform noise in the
+        # FSQ-scaled space so classes separate beyond the rounding width
+        z = z + jax.random.uniform(rng, z.shape, minval=-0.5, maxval=0.5) / half
+        logits = z @ p["head"]["w"] + p["head"]["b"]
+        mask = (Yj >= 0).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, jnp.maximum(Yj, 0))
+        return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    @jax.jit
+    def step(p, o, rng):
+        loss, g = jax.value_and_grad(loss_fn)(p, rng)
+        updates, o = opt.update(g, o)
+        return optax.apply_updates(p, updates), o, loss
+
+    loss = None
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+    fe.speech_tokenizer_params = {"params": params["s3"]}
+    return float(loss)
+
+
 def prep_features(data_dir: str, model_dir: str):
     """utt2embedding.pkl + utt2speech_token.pkl with the model dir's frontend.
 

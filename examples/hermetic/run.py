@@ -100,6 +100,7 @@ def main():
     ap.add_argument("--flow_epochs", type=int, default=60)
     ap.add_argument("--gan_epochs", type=int, default=40)
     ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--tok_steps", type=int, default=500, help="S3 supervision steps")
     ap.add_argument("--max_eval_utts", type=int, default=6)
     ap.add_argument("--check", action="store_true", help="assert quality thresholds")
     ap.add_argument("--out_json", default="", help="also write the metrics JSON here")
@@ -121,8 +122,29 @@ def main():
     import flax.serialization as ser
 
     from cosyvoice_tpu.runtime.api import load_frontend
+    from examples.hermetic.corpus import UNITS, UNIT_SEC, train_tokenizer
+    from cosyvoice_tpu.utils.audio_io import load_wav
 
     fe = load_frontend(model_dir)
+    # supervised tokenizer training — the hermetic stand-in for the ASR
+    # supervision the real S3 tokenizer received (see train_tokenizer).
+    # Features come IN CONTEXT from the training segment wavs with per-frame
+    # word labels (word-boundary frames unsupervised).
+    import numpy as _np
+
+    tok_per_unit = int(UNIT_SEC * 25)  # 25 Hz token rate
+    meta = json.load(open(os.path.join(data_dir, "meta.json")))
+    cal_wavs, cal_labels = [], []
+    for utt, m in meta.items():
+        for seg, key in (("_A", "text_a"), ("_B", "text_b")):
+            cal_wavs.append(load_wav(os.path.join(data_dir, "wavs", f"{utt}{seg}.wav"), 16000)[0])
+            fl = []
+            for w in m[key].rstrip(".").split():
+                u = UNITS.index(w)
+                fl += [-1] + [u] * (tok_per_unit - 2) + [-1]
+            cal_labels.append(_np.asarray(fl))
+    tok_loss = train_tokenizer(fe, cal_wavs, cal_labels, steps=args.tok_steps)
+    print(f"tokenizer supervision final CE loss: {tok_loss:.4f}", flush=True)
     for name, params in (("speech_tokenizer", fe.speech_tokenizer_params),
                          ("campplus", fe.campplus_params)):
         with open(os.path.join(model_dir, f"{name}.msgpack"), "wb") as f:

@@ -60,6 +60,7 @@ class TestAPI:
 
 
 class TestEvalQuality:
+    @pytest.mark.slow
     def test_eval_cli(self, tmp_path):
         """tools.eval_quality end-to-end on a tiny random-weight model: CER via
         a stub ASR + CAM++ speaker similarity over a 2-utt tts_text set."""
@@ -112,6 +113,7 @@ class TestEvalQuality:
 
 
 class TestV1API:
+    @pytest.mark.slow
     def test_v1_zero_shot_offline(self):
         """CosyVoice (v1) public zero-shot path (borrows CosyVoice2's
         inference methods incl. _run_segments — regression: AttributeError

@@ -191,6 +191,7 @@ class TestBatchScheduler:
 
 
 class TestParallelSegments:
+    @pytest.mark.slow
     def test_offline_multi_segment_runs_concurrently(self):
         """With continuous batching on, multi-segment offline synthesis yields
         one chunk per segment, in order (api._run_segments parallel path)."""

@@ -37,6 +37,7 @@ class TestDiTFlow:
         assert mel.shape == (1, 20, 80)
         assert np.isfinite(np.asarray(mel)).all()
 
+    @pytest.mark.slow
     def test_streaming_chunk_equals_full(self, dit_flow):
         """v3 golden test (flow.py:417-443): chunked DiT flow == full pass."""
         model, params = dit_flow

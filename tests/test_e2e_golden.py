@@ -119,6 +119,7 @@ def _build_torch_hift():
     ).eval()
 
 
+@pytest.mark.slow
 class TestE2EGolden:
     @pytest.fixture(scope="class")
     def stacks(self):

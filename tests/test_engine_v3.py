@@ -79,6 +79,7 @@ class TestEngineV3:
         stream = np.concatenate(chunks, axis=1)
         assert stream.shape == off.shape
 
+    @pytest.mark.slow
     def test_bucketed_cumulative_vocode_is_exact(self, engine3):
         """Non-finalize chunks pad the cumulative mel to mel_bucket and slice
         the wav back: the emitted samples must be IDENTICAL to the

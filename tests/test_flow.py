@@ -53,6 +53,7 @@ class TestCausalFlow:
         assert mel.shape == (1, 20, 80)
         assert np.isfinite(np.asarray(mel)).all()
 
+    @pytest.mark.slow
     def test_streaming_chunk_equals_full(self, flow):
         """Reference golden test (flow.py:417-443): chunked streaming flow
         inference must match full streaming inference on the shared prefix."""

@@ -42,6 +42,7 @@ class TestHiFT:
         wav2, src2 = m.apply(params, mel, K(2), cache_source=cache, method="inference")
         np.testing.assert_allclose(np.asarray(src2[:, :480]), np.asarray(cache), atol=0)
 
+    @pytest.mark.slow
     def test_causal_chunk_equals_full(self):
         """Reference golden test (generator.py:729-746): cumulative chunked
         decode of the causal vocoder matches the full pass."""

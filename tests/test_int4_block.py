@@ -105,6 +105,7 @@ class TestModelParity:
         qlm = Qwen2LM(dataclasses.replace(cfg, qwen=dataclasses.replace(qwen, quant="int4p")))
         return qlm, qparams
 
+    @pytest.mark.slow
     def test_fused_step_matches_unfused(self):
         qlm, qparams = self._tiny_lm()
         cache = qlm.init_cache(1, length=A)

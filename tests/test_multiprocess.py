@@ -13,6 +13,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 _WORKER = r"""
 import os, sys
@@ -72,6 +73,7 @@ print(f"PROC{jax.process_index()} loss={loss:.6f}", flush=True)
 
 
 class TestMultiProcessTraining:
+    @pytest.mark.slow
     def test_two_process_train_step(self, tmp_path):
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         with socket.socket() as s:

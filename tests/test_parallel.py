@@ -12,6 +12,7 @@ class TestMultichip:
         assert mesh.devices.size == 8
         assert mesh.axis_names == ("dp", "tp")
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         """The driver's multi-chip validation path on an 8-device CPU mesh."""
         import __graft_entry__ as ge

@@ -150,6 +150,7 @@ class TestDPO:
 
 
 class TestGAN:
+    @pytest.mark.slow
     def test_gan_steps_run(self):
         from cosyvoice_tpu.models.discriminator import MultipleDiscriminator
         from cosyvoice_tpu.models.hift import HiFTConfig, HiFTGenerator
@@ -294,6 +295,7 @@ class TestTrainCLI:
 
 
 class TestFlowAccum:
+    @pytest.mark.slow
     def test_flow_train_step_accum_matches_mean(self):
         """accum_steps=2 over [A,B,...] microbatches == averaged grads: loss
         reported equals the mean of the two microbatch losses."""

@@ -110,6 +110,7 @@ class TestMaskedDiffFlow:
 
 
 class TestV1Engine:
+    @pytest.mark.slow
     def test_offline_and_streaming(self, v1_lm, v1_flow):
         lm, lm_params = v1_lm
         flow, flow_params = v1_flow
