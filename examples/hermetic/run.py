@@ -107,6 +107,11 @@ def main():
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
+    # the corpus/tokenizer stages run in THIS process: honor JAX_PLATFORMS=cpu
+    # (the axon plugin force-overrides the env var at interpreter start)
+    from cosyvoice_tpu.utils.devices import honor_env_platforms
+
+    honor_env_platforms()
     from examples.hermetic.corpus import make_corpus, prep_features
 
     work = os.path.abspath(args.work)
