@@ -21,9 +21,23 @@ jax.config.update("jax_platforms", os.environ.get("COSY_TEST_PLATFORM", "cpu"))
 # HLO + compile options, so correctness is unaffected; min_compile_time=0.3 s
 # catches the mid-size programs that add up. First (cold) run pays full
 # compile; every rerun of the fast gate is then compile-free.
+#
+# The dir is additionally keyed by the host's CPU flags: XLA's CPU AOT cache
+# entries embed the compile machine's feature set, and loading an entry built
+# on a different host logs "could lead to execution errors such as SIGILL" —
+# this rig migrates between machines across sessions, so a flag-keyed dir
+# guarantees every host compiles (once) for itself.
 if os.environ.get("COSY_TEST_NO_CACHE", "") != "1":
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+    except OSError:
+        _flags = ""
+    _host_key = hashlib.sha256(_flags.encode()).hexdigest()[:12]
     _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                              ".jax_cache_tests")
+                              f".jax_cache_tests_{_host_key}")
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

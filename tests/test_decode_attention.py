@@ -153,8 +153,14 @@ def test_quantize_kv_rows_roundtrip_error():
 
 
 def test_lm_generate_kv_quant_matches_fp():
-    """A tiny LM decodes the same token stream with the int8 KV arena as with
-    the bf16 arena (quantization error is far below sampling thresholds)."""
+    """The int8 KV arena's decode logits track the fp arena's to far below
+    sampling thresholds, teacher-forced over a shared token trail.
+
+    (An earlier version asserted exact sampled-stream equality; on random-init
+    weights the logit gaps are near machine epsilon, so the comparison was
+    chaotic across hosts — one libm rounding difference flips a token and the
+    rest of the stream. Deterministic logit closeness is the actual contract.)
+    """
     import dataclasses
 
     from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
@@ -169,11 +175,36 @@ def test_lm_generate_kv_quant_matches_fp():
     lmq = Qwen2LM(dataclasses.replace(cfg, qwen=dataclasses.replace(qwen, kv_quant=True)))
 
     rng = np.random.default_rng(0)
-    ids = rng.integers(0, 50, (17,)).astype(np.int32)
-    types = np.ones((17,), np.int32)
-    toks = np.concatenate(list(lm.generate(params, ids, types, K5 := jax.random.PRNGKey(5), 10, 40)))
-    toksq = np.concatenate(list(lmq.generate(params, ids, types, K5, 10, 40)))
-    np.testing.assert_array_equal(toks, toksq)
+    ids = jnp.asarray(rng.integers(0, 50, (1, 17)), jnp.int32)
+    types = jnp.ones((1, 17), jnp.int32)
+    trail = jnp.asarray(rng.integers(0, 50, (24,)), jnp.int32)
+
+    def teacher_forced_logits(model):
+        cache = model.init_cache(1, length=64)
+        logits, cache = model.module.apply(
+            params, ids, types, jnp.asarray([17]), cache, method="prefill")
+        outs = [logits]
+        cur = jnp.asarray([17], jnp.int32)
+        for t in range(trail.shape[0]):
+            logits, cache = model.module.apply(
+                params, trail[t][None], cur, cache, method="decode_step")
+            outs.append(logits)
+            cur = cur + 1
+        return np.stack([np.asarray(o).reshape(-1) for o in outs])
+
+    lf = teacher_forced_logits(lm)
+    lq = teacher_forced_logits(lmq)
+    # fp and int8-KV arenas agree to ~per-mille of the logit scale — far
+    # below the gaps RAS nucleus sampling discriminates on trained models
+    dev = np.max(np.abs(lf - lq))
+    scale = np.max(np.abs(lf))
+    assert dev < 0.05 * scale, (dev, scale)
+    # and top-1 agrees wherever fp's top-2 margin exceeds twice the deviation
+    top2 = np.sort(lf, axis=-1)
+    margin = top2[:, -1] - top2[:, -2]
+    decisive = margin > 2 * dev
+    assert decisive.any()
+    np.testing.assert_array_equal(lf[decisive].argmax(-1), lq[decisive].argmax(-1))
 
     # cache pytree shape contract: 4-tuple with [L, B, T] f32 scale planes
     cache = lmq.init_cache(2, length=64)
@@ -186,7 +217,13 @@ def test_lm_generate_kv_quant_matches_fp():
 
 def test_batch_scheduler_kv_quant(monkeypatch):
     """Continuous batching with the int8 KV arena: admit two sessions, decode
-    to completion, both produce in-vocab tokens."""
+    to completion, both produce in-vocab tokens.
+
+    The head bias is pinned so stop rows can't fire: with v2 reference
+    semantics only EOS is suppressed pre-min_len (llm.py:157-158), so on
+    random-init weights the OTHER stop rows can legally terminate a session
+    at step 1 — the machinery under test (arena admit/retire, quantized KV
+    writes, block decode) would then be exercised by luck of the sampler."""
     import queue as _q
 
     from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
@@ -199,6 +236,8 @@ def test_batch_scheduler_kv_quant(monkeypatch):
                        max_cache_len=256, dtype=jnp.float32, kv_quant=True)
     lm = Qwen2LM(LMConfig(speech_token_size=50, qwen=qwen, block_size=8))
     params = lm.init(jax.random.PRNGKey(0))
+    bias = params["params"]["llm_decoder"]["bias"]
+    params["params"]["llm_decoder"]["bias"] = bias.at[50:].set(-1e9)
     sched = LMBatchScheduler(lm, params, max_batch=2, prompt_bucket=16)
     rng = np.random.default_rng(1)
     handles = [
@@ -218,5 +257,5 @@ def test_batch_scheduler_kv_quant(monkeypatch):
                 break
             out.append(item)
         toks = np.concatenate(out)
-        assert 5 <= len(toks) <= 25
+        assert len(toks) == 25  # stop rows pinned off -> runs to max_len
         assert np.all((toks >= 0) & (toks < 50))
