@@ -77,6 +77,11 @@ class TestGRPOTrainStep:
     def setup(self):
         lm = tiny_lm()
         params = lm.init(K(0))
+        # pin stop rows off: v2 semantics keep non-EOS stop rows samplable
+        # pre-min_len, so random-init rollouts can legally come back empty —
+        # these tests exercise the GRPO math, not the sampler's coin flip
+        bias = params["params"]["llm_decoder"]["bias"]
+        params["params"]["llm_decoder"]["bias"] = bias.at[lm.cfg.speech_token_size:].set(-30.0)
         optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
         return lm, params, optimizer
 

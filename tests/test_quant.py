@@ -23,6 +23,17 @@ def lm_pair():
     return fp, q
 
 
+def pin_stop_rows(params, speech_token_size, value=-30.0):
+    """Copy of `params` with the head's stop rows biased off. v2 reference
+    semantics keep non-EOS stop rows samplable pre-min_len (llm.py:157-158 /
+    544-545), so generate on random-init weights can legally stop at step 1 —
+    tests of the decode machinery must not depend on that coin flip."""
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    bias = out["params"]["llm_decoder"]["bias"]
+    out["params"]["llm_decoder"]["bias"] = bias.at[speech_token_size:].set(value)
+    return out
+
+
 class TestQuantOps:
     def test_roundtrip_error_bounded(self):
         rng = np.random.default_rng(0)
@@ -76,13 +87,14 @@ class TestQuantLM:
     def test_quant_generate_runs(self, setup):
         fp, q, params, params_q = setup
         c = q.cfg
+        params_q = pin_stop_rows(params_q, c.speech_token_size)
         rng = np.random.default_rng(2)
         tt = rng.integers(0, 50, 4).astype(np.int32)
         ids = np.concatenate([[c.sos_id], tt, [c.task_id]]).astype(np.int32)
         types = np.concatenate([[TYPE_SPECIAL], np.full(4, TYPE_TEXT), [TYPE_SPECIAL]]).astype(np.int32)
         blocks = list(q.generate(params_q, ids, types, K(7), 6, 30))
         toks = np.concatenate(blocks)
-        assert 6 <= len(toks) <= 30
+        assert len(toks) == 30  # stop rows pinned off -> runs to max_len
         assert (toks < c.speech_token_size).all()
 
 
@@ -152,13 +164,14 @@ class TestInt4LM:
     def test_int4_generate_runs(self, setup):
         fp, q4, params, params_q = setup
         c = q4.cfg
+        params_q = pin_stop_rows(params_q, c.speech_token_size)
         rng = np.random.default_rng(2)
         tt = rng.integers(0, 50, 4).astype(np.int32)
         ids = np.concatenate([[c.sos_id], tt, [c.task_id]]).astype(np.int32)
         types = np.concatenate([[TYPE_SPECIAL], np.full(4, TYPE_TEXT), [TYPE_SPECIAL]]).astype(np.int32)
         blocks = list(q4.generate(params_q, ids, types, K(7), 6, 30))
         toks = np.concatenate(blocks)
-        assert 6 <= len(toks) <= 30
+        assert len(toks) == 30
         assert (toks < c.speech_token_size).all()
 
 
@@ -207,11 +220,12 @@ class TestInt4PLM:
     def test_int4p_generate_runs(self, setup):
         fp, qp, params, params_q = setup
         c = qp.cfg
+        params_q = pin_stop_rows(params_q, c.speech_token_size)
         rng = np.random.default_rng(2)
         tt = rng.integers(0, 50, 4).astype(np.int32)
         ids = np.concatenate([[c.sos_id], tt, [c.task_id]]).astype(np.int32)
         types = np.concatenate([[TYPE_SPECIAL], np.full(4, TYPE_TEXT), [TYPE_SPECIAL]]).astype(np.int32)
         blocks = list(qp.generate(params_q, ids, types, K(7), 6, 30))
         toks = np.concatenate(blocks)
-        assert 6 <= len(toks) <= 30
+        assert len(toks) == 30
         assert (toks < c.speech_token_size).all()
