@@ -43,10 +43,13 @@ class CosyVoiceFrontEnd:
         self.campplus = CamPPEmbedding()
         k1, k2 = jax.random.split(jax.random.PRNGKey(rng_seed))
         mel0 = jnp.zeros((1, 100, self.speech_tokenizer.cfg.n_mels))
-        self.speech_tokenizer_params = tokenizer_params or self.speech_tokenizer.init(
-            k1, mel0, jnp.asarray([100])
+        from cosyvoice_tpu.utils.devices import jit_init
+
+        self.speech_tokenizer_params = tokenizer_params or jit_init(
+            self.speech_tokenizer.init, k1, mel0, jnp.asarray([100])
         )
-        self.campplus_params = campplus_params or self.campplus.init(k2, jnp.zeros((1, 100, 80)))
+        self.campplus_params = campplus_params or jit_init(
+            self.campplus.init, k2, jnp.zeros((1, 100, 80)))
         self.spk2info: Dict[str, dict] = {}
         if spk2info_path and os.path.exists(spk2info_path):
             with open(spk2info_path, "rb") as f:

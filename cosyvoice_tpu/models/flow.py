@@ -164,13 +164,17 @@ class CausalFlow:
 
     # ---------------- init ----------------
     def init(self, rng: jax.Array) -> dict:
+        from cosyvoice_tpu.utils.devices import jit_init
+
         k1, k2 = jax.random.split(rng)
         tok = jnp.zeros((1, 2 * self.cfg.chunk_size), jnp.int32)
-        enc_params = self.encoder.init(
+        enc_params = jit_init(
+            self.encoder.init,
             k1, tok, jnp.asarray([tok.shape[1]]), jnp.zeros((1, self.cfg.spk_embed_dim)), method="init_all"
         )
         T = tok.shape[1] * self.cfg.token_mel_ratio
-        est_params = self.estimator.init(
+        est_params = jit_init(
+            self.estimator.init,
             k2,
             jnp.zeros((1, T, 80)),
             jnp.ones((1, T)),

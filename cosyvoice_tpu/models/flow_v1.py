@@ -143,19 +143,18 @@ class MaskedDiffFlow:
         self.estimator = ConditionalDecoder(cfg.estimator)
 
     def init(self, rng: jax.Array) -> dict:
+        from cosyvoice_tpu.utils.devices import jit_init
+
         k1, k2 = jax.random.split(rng)
         tok = jnp.zeros((1, 20), jnp.int32)
-        enc = self.encoder.init(
-            k1,
-            tok[:, :10],
-            tok[:, 10:],
-            17,
-            17,
-            jnp.zeros((1, self.cfg.spk_embed_dim)),
-            method="init_all",
+        # the 17/17 length args stay static (the encoder uses them as shapes)
+        enc = jit_init(
+            lambda k, t1, t2, spk: self.encoder.init(k, t1, t2, 17, 17, spk, method="init_all"),
+            k1, tok[:, :10], tok[:, 10:], jnp.zeros((1, self.cfg.spk_embed_dim)),
         )
         T = 34
-        est = self.estimator.init(
+        est = jit_init(
+            self.estimator.init,
             k2,
             jnp.zeros((1, T, 80)),
             jnp.ones((1, T)),

@@ -205,9 +205,11 @@ class Qwen2LM:
         )
 
     def init(self, rng: jax.Array) -> dict:
+        from cosyvoice_tpu.utils.devices import jit_init
+
         ids = jnp.zeros((1, 8), jnp.int32)
         types = jnp.zeros((1, 8), jnp.int32)
-        return self.module.init(rng, ids, types, jnp.asarray([8]), method="forward_logits")
+        return jit_init(self.module.init, rng, ids, types, jnp.asarray([8]), method="forward_logits")
 
     ARENA_BUCKET = 512  # KV arena lengths are multiples of this (bounds recompiles)
 

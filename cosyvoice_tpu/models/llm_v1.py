@@ -294,11 +294,14 @@ class TransformerLM:
         self._jit_decode_block = jax.jit(self._decode_block_impl, static_argnames=("block_size",), donate_argnums=(2, 3))
 
     def init(self, rng: jax.Array) -> dict:
+        from cosyvoice_tpu.utils.devices import jit_init
+
         text = jnp.zeros((1, 8), jnp.int32)
         spk = jnp.zeros((1, self.cfg.spk_embed_dim))
         pst = jnp.zeros((1, 4), jnp.int32)
         k, v = self.init_cache(1)
-        return self.module.init(rng, text, jnp.asarray([8]), spk, pst, jnp.asarray([4]), k, v, method="prepare")
+        return jit_init(self.module.init, rng, text, jnp.asarray([8]), spk, pst,
+                        jnp.asarray([4]), k, v, method="prepare")
 
     def init_cache(self, batch: int):
         c = self.cfg

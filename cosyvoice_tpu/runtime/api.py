@@ -73,9 +73,11 @@ def load_frontend(model_dir: str = "", sample_rate: int = 24000, version: int = 
         s3_cfg = build_s3_config(fe_cfg["s3"])
 
     def _maybe_params(name, module, *init_args):
+        from cosyvoice_tpu.utils.devices import jit_init
+
         path = os.path.join(model_dir, f"{name}.msgpack") if model_dir else ""
         if path and os.path.exists(path):
-            template = module.init(*init_args)
+            template = jit_init(module.init, *init_args)
             logging.info("loaded frontend %s", path)
             return _load_msgpack(path, template)
         return None
@@ -138,10 +140,12 @@ class CosyVoice2:
 
         k = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(k, 3)
+        from cosyvoice_tpu.utils.devices import jit_init
+
         with init_on_cpu():
             lm_params = self.lm.init(k1)
             flow_params = self.flow.init(k2)
-            hift_params = self.hift.init(k3, jnp.zeros((1, 8, 80)), k)
+            hift_params = jit_init(self.hift.init, k3, jnp.zeros((1, 8, 80)), k)
         for name, template in (("lm", lm_params), ("flow", flow_params), ("hift", hift_params)):
             path = os.path.join(model_dir, f"{name}.msgpack") if model_dir else ""
             if path and os.path.exists(path):
@@ -378,7 +382,9 @@ class CosyVoice:
         with init_on_cpu():
             lm_params = self.lm.init(k1)
             flow_params = self.flow.init(k2)
-            hift_params = self.hift.init(k3, jnp.zeros((1, 8, 80)), k)
+            from cosyvoice_tpu.utils.devices import jit_init
+
+            hift_params = jit_init(self.hift.init, k3, jnp.zeros((1, 8, 80)), k)
         for name, template in (("lm", lm_params), ("flow", flow_params), ("hift", hift_params)):
             path = os.path.join(model_dir, f"{name}.msgpack") if model_dir else ""
             if path and os.path.exists(path):

@@ -69,6 +69,12 @@ class TestConfigBuild:
                 "cfm": {"n_timesteps": 2},
             },
             "hift": {"base_channels": 32, "upsample_rates": [8, 5, 3], "upsample_kernel_sizes": [16, 11, 7]},
+            # tiny frontend too — without this section load_frontend falls
+            # back to the full-size S3/CAM++ init, which dominates the test
+            "frontend": {
+                "s3": {"n_mels": 32, "d_model": 32, "num_heads": 2, "num_layers": 1,
+                       "fsq_levels": [3, 3, 3, 3], "codebook_size": 64, "use_fsq": True}
+            },
         }
         (tmp_path / "config.json").write_text(json.dumps(cfg))
         model = CosyVoice2(str(tmp_path))
