@@ -83,7 +83,15 @@ def main():
     parser.add_argument("--port", type=int, default=50000)
     parser.add_argument("--model_dir", type=str, default="")
     parser.add_argument("--max_conc", type=int, default=4)
+    parser.add_argument("--compile_cache", type=str, default="",
+                        help="persistent XLA compile-cache dir (default: repo-local host-keyed)")
     args = parser.parse_args()
+
+    from cosyvoice_tpu.utils.compile_cache import enable_persistent_cache
+
+    cache = enable_persistent_cache(args.compile_cache)
+    if cache:
+        logging.info("persistent compile cache: %s", cache)
 
     from cosyvoice_tpu.runtime.api import AutoModel
 

@@ -45,6 +45,20 @@ _AUDIO_SECONDS = [0.0]
 _METRICS_LOCK = threading.Lock()  # handler threads update these concurrently
 
 
+def _reset_metrics(model) -> dict:
+    """POST /metrics/reset — clear counters and the engine's StageTimer so a
+    benchmark window starts clean (warmup/compile entries otherwise pollute
+    the percentiles forever; the reference's perf client has no server-side
+    stages at all, so it never faces this)."""
+    with _METRICS_LOCK:
+        _REQUEST_COUNTS.clear()
+        _AUDIO_SECONDS[0] = 0.0
+    timer = getattr(getattr(model, "engine", None), "timer", None)
+    if timer is not None:
+        timer.reset()
+    return {"ok": True}
+
+
 def _count(endpoint: str):
     with _METRICS_LOCK:
         _REQUEST_COUNTS[endpoint] = _REQUEST_COUNTS.get(endpoint, 0) + 1
@@ -108,6 +122,14 @@ def make_stdlib_server(model, host: str = "0.0.0.0", port: int = 50000) -> Threa
 
         def do_POST(self):  # noqa: N802
             endpoint = self.path.strip("/")
+            if endpoint == "metrics/reset":
+                payload = json.dumps(_reset_metrics(model)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
@@ -157,6 +179,10 @@ def make_fastapi_app(model):
     @app.get("/metrics")
     async def metrics():
         return _metrics(model)
+
+    @app.post("/metrics/reset")
+    async def metrics_reset():
+        return _reset_metrics(model)
 
     @app.get("/")
     async def index():
@@ -210,7 +236,15 @@ def main():
     parser.add_argument("--model_dir", type=str, default="")
     parser.add_argument("--max_batch", type=int, default=0,
                         help=">0: continuous batching — concurrent requests share one batched LM decode loop")
+    parser.add_argument("--compile_cache", type=str, default="",
+                        help="persistent XLA compile-cache dir (default: repo-local host-keyed)")
     args = parser.parse_args()
+
+    from cosyvoice_tpu.utils.compile_cache import enable_persistent_cache
+
+    cache = enable_persistent_cache(args.compile_cache)
+    if cache:
+        logging.info("persistent compile cache: %s", cache)
 
     from cosyvoice_tpu.runtime.api import AutoModel
 

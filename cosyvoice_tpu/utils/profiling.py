@@ -31,6 +31,11 @@ class StageTimer:
     def add(self, name: str, seconds: float):
         self.records[name].append(seconds)
 
+    def reset(self):
+        """Drop accumulated records (e.g. to exclude warmup/compile-era
+        entries from a serving benchmark's percentile window)."""
+        self.records.clear()
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         out = {}
         for name, vals in self.records.items():

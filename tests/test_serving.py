@@ -89,6 +89,25 @@ class TestHTTPServing:
         assert m["requests"].get("inference_zero_shot", 0) >= 1
         assert m["audio_seconds"] > 0
 
+    def test_metrics_reset(self, http_srv):
+        """POST /metrics/reset clears counters + audio seconds so a benchmark
+        window starts clean (warmup requests otherwise pollute percentiles)."""
+        prompt = base64.b64encode(np.zeros(1600, np.int16).tobytes()).decode()
+        conn = http.client.HTTPConnection("127.0.0.1", 50911)
+        conn.request(
+            "POST", "/inference_zero_shot",
+            json.dumps({"tts_text": "hi", "prompt_text": "p", "prompt_audio_b64": prompt}),
+        )
+        conn.getresponse().read()
+        conn.request("POST", "/metrics/reset", "")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert json.loads(resp.read())["ok"] is True
+        conn.request("GET", "/metrics")
+        m = json.loads(conn.getresponse().read())
+        assert m["requests"] == {} or m["requests"].get("inference_zero_shot", 0) == 0
+        assert m["audio_seconds"] == 0.0
+
     def test_metrics_unknown_get_404(self, http_srv):
         conn = http.client.HTTPConnection("127.0.0.1", 50911)
         conn.request("GET", "/nope")
