@@ -11,8 +11,10 @@ CosyVoice2Model):
   BLOCKS sized to exactly what the next chunk needs, so the pipeline is a
   deterministic interleave with one host sync per block.
 - every device call is shape-bucketed: token prefixes pad to multiples of
-  `token_bucket`, vocoder mel pads (with log-silence) to `mel_bucket`, so the
-  number of distinct XLA programs is bounded for any utterance length.
+  `token_bucket`, vocoder mel pads (with log-silence) to `mel_bucket`, and
+  beyond 1/relative_bucket buckets the step doubles each octave
+  (`_bucket_geo`), so the number of distinct XLA programs grows
+  logarithmically with utterance length while padding waste stays bounded.
 """
 
 import time
@@ -46,6 +48,21 @@ class SessionState:
 
 def _bucket(n: int, b: int) -> int:
     return ((n + b - 1) // b) * b
+
+
+def _bucket_geo(n: int, b: int, rel: float) -> int:
+    """Length-bucket with geometric granularity: flat multiples of `b` while
+    `rel*n < b`, then the step doubles each octave (largest power of two
+    <= rel*n). Padding waste stays < `rel` while the number of distinct
+    padded shapes — each one an XLA compile — grows logarithmically with max
+    length instead of linearly. Sampled output lengths scatter in a serving
+    mix (RAS stops at a different step per request), and through a remote-TPU
+    tunnel one cold program costs minutes: a bounded program universe is what
+    lets aot_warmup + the persistent compile cache actually cover it."""
+    if rel <= 0:
+        return _bucket(n, b)
+    step = 1 << max(int(rel * n).bit_length() - 1, 0)  # largest pow2 <= rel*n
+    return _bucket(n, max(step, b))
 
 
 class _Prefetcher:
@@ -99,6 +116,7 @@ class CosyVoice2Engine:
         token_hop_len: int = 25,
         token_bucket: int = 64,
         mel_bucket: int = 32,
+        relative_bucket: float = 0.125,
         seed: int = 1986,
     ):
         self.lm = lm
@@ -118,6 +136,7 @@ class CosyVoice2Engine:
         self.speech_window = np.hamming(2 * self.source_cache_len)
         self.token_bucket = token_bucket
         self.mel_bucket = mel_bucket
+        self.relative_bucket = relative_bucket  # 0 disables geometric buckets
         self.seed = seed
         self.scheduler = None  # optional LMBatchScheduler (continuous batching)
         self._rng0 = None  # cached PRNGKey(seed): building one is a device call
@@ -219,7 +238,7 @@ class CosyVoice2Engine:
         L = len(all_tokens)
         la = self.pre_lookahead_len
         body, ctx = all_tokens[:-la], jnp.asarray(all_tokens[None, -la:].astype(np.int32))
-        Lpad = _bucket(L, self.token_bucket)
+        Lpad = _bucket_geo(L, self.token_bucket, self.relative_bucket)
         tok = np.zeros((1, Lpad), np.int32)
         tok[0, : len(body)] = body
         conds = np.zeros((1, Lpad * self.token_mel_ratio, 80), np.float32)
@@ -261,7 +280,7 @@ class CosyVoice2Engine:
             )
         all_tokens = np.concatenate([prompt_token, tokens]).astype(np.int32)
         L = len(all_tokens)
-        Lpad = _bucket(L, self.token_bucket)
+        Lpad = _bucket_geo(L, self.token_bucket, self.relative_bucket)
         tok = np.zeros((1, Lpad), np.int32)
         tok[0, :L] = all_tokens
         conds = np.zeros((1, Lpad * self.token_mel_ratio, 80), np.float32)
@@ -295,7 +314,7 @@ class CosyVoice2Engine:
             body, ctx = all_tokens, None
         else:
             body, ctx = all_tokens[:-la], jnp.asarray(all_tokens[None, -la:].astype(np.int32))
-        Lpad = _bucket(L, self.token_bucket)  # leaves >= la slack beyond body
+        Lpad = _bucket_geo(L, self.token_bucket, self.relative_bucket)  # leaves >= la slack beyond body
         tok = np.zeros((1, Lpad), np.int32)
         tok[0, : len(body)] = body
         conds = np.zeros((1, Lpad * self.token_mel_ratio, 80), np.float32)
@@ -317,7 +336,7 @@ class CosyVoice2Engine:
         """mel: [1, T, 80] -> (wav [1, T*480], source [1, T*480]); buckets T."""
         t_start = time.perf_counter()
         T = mel.shape[1]
-        Tpad = _bucket(T, self.mel_bucket)
+        Tpad = _bucket_geo(T, self.mel_bucket, self.relative_bucket)
         mel_p = np.full((1, Tpad, 80), LOG_SILENCE, np.float32)
         mel_p[:, :T] = mel
         wav, src = self._jit_hift(self.hift_params, jnp.asarray(mel_p), rng, jnp.asarray(cache_source))
@@ -607,7 +626,7 @@ class CosyVoice3Engine(CosyVoice2Engine):
             # scheme itself depends on, golden-tested in test_hift), and the
             # valid output length shifts linearly with the pad.
             T = mel.shape[1]
-            Tb = _bucket(T, self.mel_bucket)
+            Tb = _bucket_geo(T, self.mel_bucket, self.relative_bucket)
             mel_p = np.full((1, Tb, 80), LOG_SILENCE, np.float32)
             mel_p[:, :T] = mel
             wav, _ = self._jit_hift_causal(self.hift_params, jnp.asarray(mel_p), rng, False)

@@ -184,3 +184,32 @@ class TestEngine:
         normal = list(engine.tts(**inputs, source_speech_token=src))[0]["tts_speech"]
         fast = list(engine.tts(**inputs, source_speech_token=src, speed=2.0))[0]["tts_speech"]
         assert abs(fast.shape[1] - normal.shape[1] / 2) <= 480
+
+
+class TestBucketGeo:
+    """Geometric length-bucketing: bounded program universe, bounded waste."""
+
+    def test_flat_region_and_disable(self):
+        from cosyvoice_tpu.runtime.engine import _bucket, _bucket_geo
+
+        for n in range(1, 513):
+            assert _bucket_geo(n, 64, 0.125) == _bucket(n, 64)  # flat below b/rel
+            assert _bucket_geo(n, 64, 0.0) == _bucket(n, 64)  # rel=0 disables
+
+    def test_waste_and_program_count(self):
+        from cosyvoice_tpu.runtime.engine import _bucket_geo
+
+        rel, b = 0.125, 64
+        buckets = set()
+        for n in range(1, 8193):
+            p = _bucket_geo(n, b, rel)
+            assert p >= n and p % b == 0
+            if n > b / rel:  # waste bound holds above the flat region
+                assert (p - n) / n <= rel + 1e-9
+            buckets.add(p)
+        # flat would need 128 programs to cover 8192; geometric stays ~monotone
+        # 8/octave above the flat region
+        assert len(buckets) <= 40, len(buckets)
+        # monotone: longer input never gets a smaller bucket
+        ps = [_bucket_geo(n, b, rel) for n in range(1, 8193)]
+        assert all(a <= c for a, c in zip(ps, ps[1:]))
