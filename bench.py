@@ -2,7 +2,8 @@
 
 Measures the full token->wav pipeline (LM block decode + flow 10-step CFM +
 HiFT vocoder) at production shapes with randomly initialized weights (weights
-don't change FLOPs/latency). Prints ONE JSON line:
+don't change FLOPs/latency). Prints ONE JSON line (re-printed with more keys
+as later sections land):
 
   {"metric": "offline_rtf", "value": <rtf>, "unit": "ratio",
    "vs_baseline": <baseline_rtf / rtf>, ...extras}
@@ -12,62 +13,133 @@ Triton+TRT-LLM (BASELINE.md). vs_baseline > 1 means faster than baseline.
 
 Timing methodology (this rig's TPU sits behind the axon network tunnel):
 - jax block_until_ready() does NOT synchronize through the tunnel; every
-  timed section ends with a device-side scalar reduce + host fetch.
+  timed section ends with a device-side scalar reduce + host fetch through
+  ONE pre-jitted program (per shape), so the sync itself cannot trigger
+  eager op compiles through the tunnel.
 - the first 1-2 executions of a fresh executable pay a lazy program-upload
   cost, so every program is warmed up with >=2 fully-synced runs.
 - one host fetch costs a tunnel round trip (measured and subtracted where a
   section can't amortize it over reps).
+
+Hang resistance (round-3 postmortem: the tunnel stalled mid-run and 420 s of
+driver budget produced zero bytes): a watchdog daemon enforces BOTH a
+per-stage deadline and the global COSY_BENCH_BUDGET_S budget over EVERY
+device-touching section; on expiry it dumps all thread stacks to stderr,
+prints the partial-result JSON with an "error" key, and os._exit(3)s. A
+heartbeat daemon prints "# hb stage=<name> t=<s>" every 15 s so a silent
+tail is impossible, and faulthandler.dump_traceback_later is armed as a
+last resort. The result JSON is re-printed after every completed section,
+so whatever was measured before a stall is always in the tail.
 """
 
+import faulthandler
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
 
-_T_START = time.time()  # the optional-section deadline counts from process start
+_T_START = time.time()
+BUDGET_S = float(os.environ.get("COSY_BENCH_BUDGET_S", "420"))
+
+# partial-result accumulator: the watchdog prints this on a stall, every
+# completed section re-prints it on stdout
+RESULT = {"metric": "offline_rtf", "value": -1.0, "unit": "ratio", "vs_baseline": 0.0}
+_STAGE = {"name": "startup", "deadline": _T_START + 120.0}
+_LOCK = threading.Lock()
+
+
+def emit():
+    print(json.dumps(RESULT), flush=True)
+
+
+def stage(name: str, timeout_s: float = 180.0):
+    """Enter a named stage; the watchdog kills the run if it overstays."""
+    with _LOCK:
+        _STAGE["name"] = name
+        _STAGE["deadline"] = time.time() + timeout_s
+    print(f"# stage {name} t={time.time() - _T_START:.0f}s", flush=True)
+
+
+def have(margin_s: float) -> bool:
+    """True if at least margin_s of global budget remains."""
+    return time.time() < _T_START + BUDGET_S - margin_s
+
+
+def _watchdog():
+    while True:
+        time.sleep(1.0)
+        now = time.time()
+        over_stage = now > _STAGE["deadline"]
+        over_budget = now > _T_START + BUDGET_S
+        if over_stage or over_budget:
+            why = "exceeded global budget" if over_budget else "stalled past stage deadline"
+            msg = f"stage '{_STAGE['name']}' {why} at t={now - _T_START:.0f}s"
+            RESULT["error"] = msg
+            print(f"# WATCHDOG: {msg}; dumping stacks to stderr", flush=True)
+            try:
+                faulthandler.dump_traceback(file=sys.stderr)
+                sys.stderr.flush()
+            except Exception:
+                pass
+            emit()
+            os._exit(3)
+
+
+def _heartbeat():
+    while True:
+        time.sleep(15.0)
+        print(f"# hb stage={_STAGE['name']} t={time.time() - _T_START:.0f}s", flush=True)
+
+
+_SYNC_FN = None
 
 
 def _sync(x):
-    """True device sync: fetch a scalar reduce of x (block_until_ready is a
-    no-op through the axon tunnel)."""
+    """True device sync: fetch a scalar reduce of every leaf through one
+    pre-jitted program (block_until_ready is a no-op through the axon
+    tunnel; a jitted reduce also can't trigger per-op eager compiles)."""
+    global _SYNC_FN
+    import jax
     import jax.numpy as jnp
 
-    if isinstance(x, (list, tuple)):
-        return float(sum(jnp.sum(jnp.abs(v.astype(jnp.float32))) for v in x))
-    return float(jnp.sum(jnp.abs(x.astype(jnp.float32))))
+    if _SYNC_FN is None:
+        _SYNC_FN = jax.jit(lambda a: jnp.sum(jnp.abs(a.astype(jnp.float32))))
+    return float(sum(float(_SYNC_FN(v)) for v in jax.tree_util.tree_leaves(x)))
 
 
 def main():
-    import os
+    # arm the guards before ANY jax import can touch the tunnel
+    threading.Thread(target=_watchdog, daemon=True).start()
+    threading.Thread(target=_heartbeat, daemon=True).start()
+    faulthandler.enable()
+    # absolute last resort if even the watchdog thread wedges
+    faulthandler.dump_traceback_later(int(BUDGET_S + 60), exit=True)
 
+    stage("probe", float(os.environ.get("COSY_BENCH_PROBE_S", "300")) + 10)
     import jax
 
-    # persistent XLA compilation cache: the heavy first-run compiles (0.5B LM
-    # prefill/decode scan, flow conformer+CFM, vocoder) are reused across
-    # bench invocations
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    # tunnel watchdog: a dead axon tunnel makes jax.devices() hang FOREVER
-    # (the client redials indefinitely); emit a diagnostic JSON line instead
-    # of hanging the driver's bench step
-    import threading as _threading
-
-    probe_done = _threading.Event()
+    # a dead axon tunnel makes jax.devices() hang FOREVER (the client redials
+    # indefinitely); probe it on a side thread with its own timeout
+    probe_done = threading.Event()
 
     def _probe():
         jax.devices()
         probe_done.set()
 
-    _threading.Thread(target=_probe, daemon=True).start()
+    threading.Thread(target=_probe, daemon=True).start()
     if not probe_done.wait(timeout=float(os.environ.get("COSY_BENCH_PROBE_S", "300"))):
-        print(json.dumps({
-            "metric": "offline_rtf", "value": -1.0, "unit": "ratio", "vs_baseline": 0.0,
-            "error": "tpu tunnel unreachable (jax.devices() hung past probe timeout)",
-        }))
+        RESULT["error"] = "tpu tunnel unreachable (jax.devices() hung past probe timeout)"
+        emit()
         os._exit(2)
 
+    stage("imports", 120)
     import jax.numpy as jnp
 
     from cosyvoice_tpu.models.flow import CausalFlow, FlowConfig
@@ -82,26 +154,31 @@ def main():
 
     n_tokens = 125  # 5 s of audio at 25 Hz
     audio_seconds = n_tokens / 25.0
+    RESULT["audio_s"] = audio_seconds
+    baseline = 0.0891
 
     lm = Qwen2LM(LMConfig(block_size=125))
     flow = CausalFlow(FlowConfig(dtype=jnp.bfloat16, estimator=EstimatorConfig(dtype=jnp.bfloat16)))
     hift = HiFTGenerator(HiFTConfig())
 
     # weight VALUES don't change FLOPs/latency, so params are materialized as
-    # on-device zeros from eval_shape — replaces the r2 init path (CPU-side
-    # flax init of 0.5B + ~2 GB device_put through the tunnel = 494 s init_s)
-    # with sub-second device programs
+    # on-device zeros from eval_shape — sub-second device programs instead of
+    # a 494 s CPU init + 2 GB device_put through the tunnel (r2 postmortem)
+    stage("init", 240)
     t0 = time.time()
     lm_params = zeros_like_init(lm.init, K(0))
     flow_params = zeros_like_init(flow.init, K(1))
     hift_params = zeros_like_init(hift.init, K(2), jnp.zeros((1, 8, 80)), K(3))
     _sync(jax.tree_util.tree_leaves(lm_params)[0])
     init_s = time.time() - t0
+    RESULT["init_s"] = round(init_s, 1)
+    RESULT["backend"] = jax.default_backend()
     print(f"# init {init_s:.1f}s", flush=True)
 
     engine = CosyVoice2Engine(lm, flow, hift, lm_params, flow_params, hift_params, token_bucket=32)
 
     # measure the tunnel round trip (fetch of an already-ready scalar)
+    stage("tunnel_rt", 120)
     ready = jnp.zeros(())
     _sync(ready)
     rts = []
@@ -110,6 +187,7 @@ def main():
         _sync(ready)
         rts.append(time.time() - t0)
     rt_s = float(np.median(rts))
+    RESULT["tunnel_rt_ms"] = round(rt_s * 1000.0, 1)
 
     # ---- inputs ----
     text_len = 30
@@ -127,49 +205,55 @@ def main():
     ids_d = np.zeros((1, pad_T), np.int32); ids_d[0, : len(ids)] = ids
     types_d = np.full((1, pad_T), 1, np.int32); types_d[0, : len(types)] = types
     arena = lm.arena_bucket(pad_T + n_tokens + 1)  # bucketed KV arena (512 here)
+    RESULT["kv_arena"] = arena
 
-    def lm_block_time(model, params, block, n_rep=4):
-        """Prefill once, run the decode-block program warm, time n_rep chained
-        blocks (cur/len state frozen: identical work per block)."""
+    def lm_block_time(model, params, block, n_rep=4, B=1, arena_len=None, live_len=None):
+        """Prefill (B=1) or synthetic ragged state (B>1), run the decode-block
+        program warm, time n_rep chained blocks (cur/len state frozen:
+        identical work per block)."""
         cc = model.cfg
-        cache = model.init_cache(1, length=arena)
-        logits, cache = model._jit_prefill(
-            params, jnp.asarray(ids_d), jnp.asarray(types_d), jnp.asarray([len(ids)]), cache
-        )
+        a = arena_len or arena
+        cache = model.init_cache(B, length=a)
+        if B == 1:
+            logits, cache = model._jit_prefill(
+                params, jnp.asarray(ids_d), jnp.asarray(types_d), jnp.asarray([len(ids)]), cache
+            )
+            cur = jnp.asarray([len(ids)], jnp.int32)
+        else:
+            logits = jnp.zeros((B, cc.head_size), jnp.float32)
+            live = live_len or (len(ids) + n_tokens // 2)
+            cur = jnp.full((B,), live, jnp.int32) - jnp.arange(B, dtype=jnp.int32) * 3
         # host-side fused int4p pack (None for other quant modes) — the
         # production decode loops pass this the same way
         pack = model._decode_pack(params, cache)
-        cur = jnp.asarray([len(ids)], jnp.int32)
-        rec = jnp.full((1, cc.win_size), -1, jnp.int32)
-        nd = jnp.zeros((1,), jnp.int32)
-        ml = jnp.asarray([n_tokens], jnp.int32)
-        fin = jnp.zeros((1,), bool)
-        o = model._jit_decode_block(params, K(1), cache, cur, logits, rec, nd, ml, fin, block, stacked=pack)
+        rec = jnp.full((B, cc.win_size), -1, jnp.int32)
+        nd = jnp.zeros((B,), jnp.int32)
+        ml = jnp.full((B,), n_tokens, jnp.int32)
+        fin = jnp.zeros((B,), bool)
+        kw = dict(stacked=pack) if B == 1 else dict(ragged=True, stacked=pack)
+        o = model._jit_decode_block(params, K(1), cache, cur, logits, rec, nd, ml, fin, block, **kw)
         _sync(o[0])
-        o = model._jit_decode_block(params, K(2), o[2], cur, logits, rec, nd, ml, fin, block, stacked=pack)
+        o = model._jit_decode_block(params, K(2), o[2], cur, logits, rec, nd, ml, fin, block, **kw)
         _sync(o[0])  # >=2 warm runs: program upload is lazy
         t0 = time.time()
         for i in range(n_rep):
             o = model._jit_decode_block(
-                params, K(3 + i), o[2], cur, logits, rec, nd, ml, fin, block, stacked=pack
+                params, K(3 + i), o[2], cur, logits, rec, nd, ml, fin, block, **kw
             )
         _sync(o[0])
         return (time.time() - t0) / n_rep
 
-    # ---- LM decode: bf16 and int8 weight-only (the TRT-LLM int8 role) ----
+    # ---- LM decode, bf16 ----
+    stage("lm_bf16", 300)
     t_compile0 = time.time()
     lm_dev_s = lm_block_time(lm, lm_params, n_tokens)
     compile_s = time.time() - t_compile0
+    RESULT["lm_device_s"] = round(lm_dev_s, 4)
+    RESULT["compile_s"] = round(compile_s, 1)
     print(f"# lm_dev {lm_dev_s:.4f}", flush=True)
 
-    import dataclasses
-
-    q_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant=True)))
-    q_params = zeros_like_init(q_lm.init, K(0))  # values don't affect latency
-    lm_dev_int8_s = lm_block_time(q_lm, q_params, n_tokens)
-    print(f"# lm_dev_int8 {lm_dev_int8_s:.4f}", flush=True)
-
     # ---- token2wav: fused offline program (flow + mel slice + vocoder) ----
+    stage("t2w", 300)
     tokens = rng.integers(0, 6561, n_tokens).astype(np.int32)
     L = 50 + n_tokens
     Lpad = ((L + 31) // 32) * 32
@@ -194,10 +278,45 @@ def main():
         w = t2w_once(K(2 + i))
     _sync(w)
     t2w_dev_s = (time.time() - t0) / n_rep
+    RESULT["t2w_device_s"] = round(t2w_dev_s, 4)
     print(f"# t2w_dev {t2w_dev_s:.4f}", flush=True)
+
+    # FIRST HEADLINE: bf16 numbers are now complete — lock in a real perf
+    # number before anything else can stall
+    rtf_dev = (lm_dev_s + t2w_dev_s) / audio_seconds
+    RESULT.update({
+        "value": round(rtf_dev, 4),
+        "vs_baseline": round(baseline / rtf_dev, 4),
+        "rtf_bf16_lm": round(rtf_dev, 4),
+        "vs_baseline_bf16": round(baseline / rtf_dev, 4),
+        "note": "value = device-resident timing (sync via pre-jitted value "
+                "fetch; block_until_ready is a no-op through this rig's TPU "
+                "tunnel); *_wall numbers include the ~30-90ms/roundtrip tunnel",
+    })
+    emit()
+
+    # ---- LM decode, int8 weight-only (the TRT-LLM int8 role) ----
+    stage("lm_int8", 300)
+    import dataclasses
+
+    q_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant=True)))
+    q_params = zeros_like_init(q_lm.init, K(0))  # values don't affect latency
+    lm_dev_int8_s = lm_block_time(q_lm, q_params, n_tokens)
+    print(f"# lm_dev_int8 {lm_dev_int8_s:.4f}", flush=True)
+
+    # headline becomes the production serving config (int8 weight-only LM +
+    # fused t2w), matching the baseline's TRT-LLM int8 role
+    rtf_int8 = (lm_dev_int8_s + t2w_dev_s) / audio_seconds
+    RESULT.update({
+        "value": round(rtf_int8, 4),
+        "vs_baseline": round(baseline / rtf_int8, 4),
+        "lm_device_s_int8": round(lm_dev_int8_s, 4),
+    })
+    emit()
 
     # ---- device-resident first-chunk latency: prefill + first 28-token block
     # + fused first streaming chunk (flow prefix + slice + HiFT + caches) ----
+    stage("first_chunk", 300)
     tok_c = jnp.asarray(np.concatenate([tok_d[:, :75], np.zeros((1, 21), np.int32)], axis=1))
     ctx_c = jnp.asarray(tok_d[:, 75:78])
     conds_c = jnp.asarray(np.concatenate([prompt_feat, np.zeros((1, 92, 80), np.float32)], axis=1))
@@ -223,90 +342,120 @@ def main():
         )
         return o3[0], out_c[0]
 
-    toks, wav_c = first_chunk_once(10)
-    _sync([toks, wav_c])
-    toks, wav_c = first_chunk_once(11)
-    _sync([toks, wav_c])
-    n_rep = 5
-    t0 = time.time()
-    outs = []
-    for i in range(n_rep):
-        outs.append(first_chunk_once(20 + 2 * i))
-    _sync([o for pair in outs for o in pair])
-    first_chunk_dev_ms = ((time.time() - t0) - rt_s) / n_rep * 1000.0
-    print(f"# first_chunk_dev {first_chunk_dev_ms:.1f}ms (tunnel rt {rt_s*1000:.1f}ms subtracted)", flush=True)
+    try:
+        toks, wav_c = first_chunk_once(10)
+        _sync([toks, wav_c])
+        toks, wav_c = first_chunk_once(11)
+        _sync([toks, wav_c])
+        n_rep = 5
+        t0 = time.time()
+        outs = []
+        for i in range(n_rep):
+            outs.append(first_chunk_once(20 + 2 * i))
+        _sync([o for pair in outs for o in pair])
+        first_chunk_dev_ms = ((time.time() - t0) - rt_s) / n_rep * 1000.0
+        RESULT["first_chunk_ms_device"] = round(first_chunk_dev_ms, 1)
+        print(f"# first_chunk_dev {first_chunk_dev_ms:.1f}ms (tunnel rt {rt_s*1000:.1f}ms subtracted)", flush=True)
 
-    # same first-chunk path with the int8 LM (the production serving config)
-    for seed in (12, 13):
-        _sync(list(first_chunk_once(seed, q_lm, q_params)))
-    t0 = time.time()
-    outs = [first_chunk_once(40 + 2 * i, q_lm, q_params) for i in range(n_rep)]
-    _sync([o for pair in outs for o in pair])
-    first_chunk_int8_ms = ((time.time() - t0) - rt_s) / n_rep * 1000.0
-    print(f"# first_chunk_dev_int8 {first_chunk_int8_ms:.1f}ms", flush=True)
+        # same first-chunk path with the int8 LM (the production serving config)
+        for seed in (12, 13):
+            _sync(list(first_chunk_once(seed, q_lm, q_params)))
+        t0 = time.time()
+        outs = [first_chunk_once(40 + 2 * i, q_lm, q_params) for i in range(n_rep)]
+        _sync([o for pair in outs for o in pair])
+        first_chunk_int8_ms = ((time.time() - t0) - rt_s) / n_rep * 1000.0
+        RESULT["first_chunk_ms_device_int8"] = round(first_chunk_int8_ms, 1)
+        print(f"# first_chunk_dev_int8 {first_chunk_int8_ms:.1f}ms", flush=True)
+    except Exception as e:  # noqa: BLE001 — isolated section
+        print(f"# first_chunk section failed: {type(e).__name__}: {e}", flush=True)
+    emit()
 
-    # ---- HEADLINE: everything the official metric needs is measured.
-    # Emit the JSON line NOW, before any optional wall-clock/A-B section can
-    # blow the driver's budget (round 1 lost its perf number to exactly
-    # that: rc=124 with all device numbers already printed). ----
-    rtf_dev = (lm_dev_s + t2w_dev_s) / audio_seconds
-    rtf_int8 = (lm_dev_int8_s + t2w_dev_s) / audio_seconds
-    baseline = 0.0891
-    result = {
-        "metric": "offline_rtf",
-        # headline = the production serving config (int8 weight-only LM +
-        # fused t2w), matching the baseline's TRT-LLM int8 role
-        "value": round(rtf_int8, 4),
-        "unit": "ratio",
-        "vs_baseline": round(baseline / rtf_int8, 4),
-        "rtf_bf16_lm": round(rtf_dev, 4),
-        "vs_baseline_bf16": round(baseline / rtf_dev, 4),
-        "lm_device_s": round(lm_dev_s, 4),
-        "lm_device_s_int8": round(lm_dev_int8_s, 4),
-        "t2w_device_s": round(t2w_dev_s, 4),
-        "first_chunk_ms_device": round(first_chunk_dev_ms, 1),
-        "first_chunk_ms_device_int8": round(first_chunk_int8_ms, 1),
-        "tunnel_rt_ms": round(rt_s * 1000.0, 1),
-        "audio_s": audio_seconds,
-        "kv_arena": arena,
-        "compile_s": round(compile_s, 1),
-        "init_s": round(init_s, 1),
-        "backend": jax.default_backend(),
-        "note": "value = device-resident int8-LM timing, the production "
-                "serving config (sync via value fetch; block_until_ready "
-                "is a no-op through this rig's TPU tunnel); *_wall numbers "
-                "include the ~30-90ms/roundtrip tunnel",
-    }
-    print(json.dumps(result), flush=True)
+    # ---- device streaming RTF over the full utterance: the real chunk
+    # schedule (hop 25 -> 50 -> 100 + finalize) through the engine's stream
+    # chunk programs, per-chunk synced; mirrors the baseline's streaming
+    # conc=1 row (README.Cosyvoice2.Unet.md:94-102) ----
+    stage("streaming_dev", 300)
+    try:
+        from cosyvoice_tpu.runtime.engine import SessionState
 
-    # ---- quant extras: UNCONDITIONAL (r2 lost them to the deadline when
-    # init_s ate the budget; with zeros_like_init they cost seconds and run
-    # before any wall-clock section can blow the budget). Each failure is
-    # isolated; the extended JSON line is re-printed after this block. ----
-    budget_s = float(os.environ.get("COSY_BENCH_BUDGET_S", "420"))
-    deadline = _T_START + budget_s
+        def stream_pass():
+            st = SessionState()
+            la = engine.pre_lookahead_len
+            hop, off = engine.token_hop_len, 0
+            chunk_times = []
+            while off + hop + la <= n_tokens:
+                t0 = time.time()
+                engine.token2wav(
+                    st, np.asarray(tokens[: off + hop + la], np.int32), prompt_speech_tokens,
+                    prompt_feat, embedding, token_offset=off, stream=True, finalize=False,
+                )
+                chunk_times.append(time.time() - t0)
+                off += hop
+                hop = min(engine.token_max_hop_len, hop * engine.stream_scale_factor)
+            t0 = time.time()
+            engine.token2wav(
+                st, np.asarray(tokens, np.int32), prompt_speech_tokens,
+                prompt_feat, embedding, token_offset=off, stream=True, finalize=True,
+            )
+            chunk_times.append(time.time() - t0)
+            return chunk_times
 
-    def have(margin_s):
-        return time.time() < deadline - margin_s
+        stream_pass()  # warm every per-bucket program
+        stream_pass()
+        ct = stream_pass()
+        # engine.token2wav host path syncs once per chunk: subtract one
+        # tunnel round trip per chunk for the device-resident number
+        t2w_stream_s = max(sum(ct) - rt_s * len(ct), 0.0)
+        streaming_rtf = (lm_dev_int8_s + t2w_stream_s) / audio_seconds
+        RESULT["streaming_t2w_s"] = round(t2w_stream_s, 4)
+        RESULT["streaming_chunks"] = len(ct)
+        RESULT["streaming_rtf_dev"] = round(streaming_rtf, 4)
+        print(f"# streaming_rtf_dev {streaming_rtf:.4f} ({len(ct)} chunks, t2w {t2w_stream_s:.3f}s)", flush=True)
+    except Exception as e:  # noqa: BLE001 — isolated section
+        print(f"# streaming_dev section failed: {type(e).__name__}: {e}", flush=True)
+    emit()
 
+    # ---- batched offline decode: the baseline's bs=4/16 rows
+    # (README.Cosyvoice2.Unet.md:113-122). LM decodes B streams in one ragged
+    # block program (runtime/batch_scheduler.py's hot loop); token2wav then
+    # renders each stream (sequential per stream, as the serving path does).
+    stage("batched", 300)
+    try:
+        for B in (4, 16):
+            if not have(60):
+                print(f"# batched bs={B} skipped: budget", flush=True)
+                break
+            blk = lm_block_time(
+                q_lm, q_params, n_tokens, n_rep=3, B=B,
+                arena_len=lm.arena_bucket(len(ids) + n_tokens + 1), live_len=len(ids) + n_tokens // 2,
+            )
+            rtf_bs = (blk + B * t2w_dev_s) / (B * audio_seconds)
+            RESULT[f"rtf_bs{B}"] = round(rtf_bs, 4)
+            RESULT[f"lm_block_s_bs{B}"] = round(blk, 4)
+            print(f"# rtf_bs{B} {rtf_bs:.4f} (lm block {blk:.4f}s for {B} streams)", flush=True)
+    except Exception as e:  # noqa: BLE001 — isolated section
+        print(f"# batched section failed: {type(e).__name__}: {e}", flush=True)
+    emit()
+
+    # ---- quant extras ----
     # int4p: fused Pallas decode kernels (ops/int4_fused.py) — half the int8
     # weight bytes at near-int8 decode speed
+    stage("int4p", 240)
     try:
         q4_lm = Qwen2LM(dataclasses.replace(lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant="int4p")))
         q4_params = zeros_like_init(q4_lm.init, K(0))
         lm_dev_int4p_s = lm_block_time(q4_lm, q4_params, n_tokens)
         print(f"# lm_dev_int4p {lm_dev_int4p_s:.4f}", flush=True)
-        result["lm_device_s_int4p"] = round(lm_dev_int4p_s, 4)
-        result["rtf_int4p_lm"] = round((lm_dev_int4p_s + t2w_dev_s) / audio_seconds, 4)
-        # A/B the shift-free unpack scheme (trace-time env; a FRESH
-        # Qwen2LM gets fresh jit wrappers so both schemes are measured
-        # in one run)
+        RESULT["lm_device_s_int4p"] = round(lm_dev_int4p_s, 4)
+        RESULT["rtf_int4p_lm"] = round((lm_dev_int4p_s + t2w_dev_s) / audio_seconds, 4)
+        # A/B the shift-free unpack scheme (trace-time env; a FRESH Qwen2LM
+        # gets fresh jit wrappers so both schemes are measured in one run)
         if have(60):
             os.environ["COSY_INT4_UNPACK"] = "fold"
             try:
                 q4f_lm = Qwen2LM(q4_lm.cfg)
                 lm_dev_int4p_fold_s = lm_block_time(q4f_lm, q4_params, n_tokens)
-                result["lm_device_s_int4p_fold"] = round(lm_dev_int4p_fold_s, 4)
+                RESULT["lm_device_s_int4p_fold"] = round(lm_dev_int4p_fold_s, 4)
                 print(f"# lm_dev_int4p_fold {lm_dev_int4p_fold_s:.4f}", flush=True)
             except Exception as e:  # noqa: BLE001 — experimental kernel path
                 print(f"# int4p fold scheme failed: {type(e).__name__}: {e}", flush=True)
@@ -315,27 +464,31 @@ def main():
         del q4_params
     except Exception as e:  # noqa: BLE001 — optional section
         print(f"# int4p section failed: {type(e).__name__}: {e}", flush=True)
+    emit()
 
     # int8 KV arena (kv_quant=True): halves the arena-read bytes that dominate
     # batched long-context decode; here measured at the bench shapes on the
     # int8-weight LM (the production combo). See ops/decode_attention.py
     # gqa_decode_attention_quant.
+    stage("kv_quant", 240)
     try:
         kq_lm = Qwen2LM(dataclasses.replace(
             lm.cfg, qwen=dataclasses.replace(lm.cfg.qwen, quant=True, kv_quant=True)))
         lm_dev_kvq_s = lm_block_time(kq_lm, q_params, n_tokens)
         print(f"# lm_dev_kvq {lm_dev_kvq_s:.4f}", flush=True)
-        result["lm_device_s_kvq"] = round(lm_dev_kvq_s, 4)
-        result["rtf_kvq"] = round((lm_dev_kvq_s + t2w_dev_s) / audio_seconds, 4)
+        RESULT["lm_device_s_kvq"] = round(lm_dev_kvq_s, 4)
+        RESULT["rtf_kvq"] = round((lm_dev_kvq_s + t2w_dev_s) / audio_seconds, 4)
     except Exception as e:  # noqa: BLE001 — optional section
         print(f"# kv_quant section failed: {type(e).__name__}: {e}", flush=True)
     del q_params
-
-    # quant extras are now locked in whatever happens below
-    print(json.dumps(result), flush=True)
+    emit()
 
     # ---- wall-clock end-to-end through the public engine (includes the
-    # tunnel: real users on-host would not pay these round trips) ----
+    # tunnel: real users on-host would not pay these round trips). The LM
+    # samples from uniform logits here (zero weights), so generated length is
+    # pinned by min_len=max_len=n_tokens to keep the section representative.
+    stage("wall_e2e", 240)
+
     def e2e_once(seed):
         toks_all = []
         for block in lm.generate(lm_params, ids, types, K(seed), n_tokens, n_tokens, block_size=125):
@@ -356,12 +509,14 @@ def main():
             t0 = time.time()
             e2e_once(32)
             wall_s = time.time() - t0
-            result["rtf_wall_via_tunnel"] = round(wall_s / audio_seconds, 4)
+            RESULT["rtf_wall_via_tunnel"] = round(wall_s / audio_seconds, 4)
             print(f"# rtf_wall {wall_s / audio_seconds:.4f}", flush=True)
         except Exception as e:  # noqa: BLE001 — optional section
             print(f"# e2e wall section failed: {type(e).__name__}: {e}", flush=True)
+    emit()
 
     # ---- streaming first-chunk latency through the public engine (wall) ----
+    stage("wall_stream", 240)
     if have(120):
         try:
             def stream_gen(seed):
@@ -382,15 +537,16 @@ def main():
             t0 = time.time()
             gen = stream_gen(9)
             next(gen)
-            result["first_chunk_ms_wall"] = round((time.time() - t0) * 1000.0, 1)
+            RESULT["first_chunk_ms_wall"] = round((time.time() - t0) * 1000.0, 1)
             for _ in gen:
                 pass
-            print(f"# first_chunk_wall {result['first_chunk_ms_wall']}ms", flush=True)
+            print(f"# first_chunk_wall {RESULT['first_chunk_ms_wall']}ms", flush=True)
         except Exception as e:  # noqa: BLE001 — optional section
             print(f"# streaming wall section failed: {type(e).__name__}: {e}", flush=True)
 
-    # extended line: same metric/value/vs_baseline, extra keys only
-    print(json.dumps(result), flush=True)
+    stage("done", 60)
+    emit()
+    os._exit(0)  # don't let a wedged tunnel thread block interpreter exit
 
 
 if __name__ == "__main__":

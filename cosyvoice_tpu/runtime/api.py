@@ -115,6 +115,9 @@ class CosyVoice2:
         # Pallas decode kernels, ops/int4_fused.py)
         kv_quant: bool = False,  # int8 KV arena (halves batched long-context
         # decode's arena-read HBM term; see ops/decode_attention.py)
+        hop_policy: str = "",  # streaming hop growth: doubling | exponential
+        # | time_based (reference Triton model.py:386-429); "" = config.json's
+        # engine.hop_policy, else "doubling"
     ):
         self.model_dir = model_dir
         # model dirs may carry a declarative config.json (the reference's
@@ -167,7 +170,8 @@ class CosyVoice2:
 
         self._init_frontend_only(model_dir)
         self.engine = CosyVoice2Engine(
-            self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed
+            self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed,
+            hop_policy=hop_policy or file_cfg.get("engine", {}).get("hop_policy", "doubling"),
         )
 
     def _init_frontend_only(self, model_dir: str = ""):
@@ -451,10 +455,13 @@ class CosyVoice3(CosyVoice2):
         hift_cfg = kwargs.pop("hift_cfg", None)
         if hift_cfg is None and "hift" not in file_cfg:
             hift_cfg = HiFTConfig(causal=True)
-        super().__init__(model_dir, fp16=fp16, seed=seed, lm_cfg=lm_cfg, flow_cfg=flow_cfg, hift_cfg=hift_cfg)
+        hop_policy = kwargs.pop("hop_policy", "")
+        super().__init__(model_dir, fp16=fp16, seed=seed, lm_cfg=lm_cfg, flow_cfg=flow_cfg,
+                         hift_cfg=hift_cfg, hop_policy=hop_policy)
         # swap in the v3 engine (cumulative-mel causal vocoding + FSQ squelch)
         self.engine = CosyVoice3Engine(
-            self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed
+            self.lm, self.flow, self.hift, self.lm_params, self.flow_params, self.hift_params, seed=seed,
+            hop_policy=hop_policy or file_cfg.get("engine", {}).get("hop_policy", "doubling"),
         )
 
     def inference_instruct2(

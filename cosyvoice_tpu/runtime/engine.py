@@ -118,6 +118,7 @@ class CosyVoice2Engine:
         mel_bucket: int = 32,
         relative_bucket: float = 0.125,
         seed: int = 1986,
+        hop_policy: str = "doubling",
     ):
         self.lm = lm
         self.flow = flow
@@ -128,8 +129,11 @@ class CosyVoice2Engine:
         self.token_hop_len = token_hop_len
         self.token_max_hop_len = 4 * token_hop_len
         self.stream_scale_factor = 2
+        assert hop_policy in ("doubling", "exponential", "time_based"), hop_policy
+        self.hop_policy = hop_policy
         self.pre_lookahead_len = flow.cfg.pre_lookahead_len
         self.token_mel_ratio = flow.cfg.token_mel_ratio
+        self.token_rate = 25  # Hz (cosyvoice2.yaml:13-14; time_based policy)
         self.wav_hop = hift.cfg.hop_total  # samples per mel frame (480 @24k)
         self.mel_cache_len = 8
         self.source_cache_len = self.mel_cache_len * self.wav_hop
@@ -406,6 +410,51 @@ class CosyVoice2Engine:
         out[:, :n] = wav[:, :n] * w[n:] + prev_tail * w[:n]
         return out
 
+    def next_hop(
+        self,
+        hop: int,
+        chunk_index: int,
+        elapsed_s: float,
+        token_offset: int,
+        n_pending: int,
+    ) -> int:
+        """Token hop length for the chunk AFTER emitting chunk `chunk_index`.
+
+        Policies (reference Triton consumer,
+        runtime/triton_trtllm/model_repo/cosyvoice2/1/model.py:386-429, plus
+        the in-repo default cli/model.py:360):
+          - 'doubling' (default): hop *= stream_scale_factor, capped at
+            token_max_hop_len — the cli engine's fixed 25->50->100 schedule.
+          - 'exponential': base * 2**chunk_index, uncapped (model.py:408-409).
+          - 'time_based': latency-adaptive (model.py:410-427) — compare the
+            audio-duration headroom (emitted audio seconds minus elapsed wall
+            seconds) against the average chunk processing time; with > 4
+            chunks of headroom consume the whole pending buffer rounded UP to
+            a hop multiple, with > 2 rounded down, else fall back to the base
+            hop. A slow token2wav stage therefore grows hops faster (each
+            chunk amortizes the per-chunk overhead over more tokens), while a
+            fast one keeps chunks small for low jitter.
+        """
+        base = self.token_hop_len
+        if self.hop_policy == "exponential":
+            return base * (2 ** chunk_index)
+        if self.hop_policy == "time_based":
+            if chunk_index <= 0 or elapsed_s <= 0:
+                return base
+            duration_s = token_offset / float(self.token_rate)
+            avg_chunk_s = elapsed_s / (chunk_index + 1)
+            if avg_chunk_s <= 0:
+                return base
+            multiples = (duration_s - elapsed_s) / avg_chunk_s
+            if multiples > 4:
+                nxt = (n_pending // base + 1) * base
+            elif multiples > 2:
+                nxt = (n_pending // base) * base
+            else:
+                nxt = base
+            return max(base, nxt)
+        return min(self.token_max_hop_len, hop * self.stream_scale_factor)
+
     # ------------------------------------------------------------------
     def tts(
         self,
@@ -503,6 +552,7 @@ class CosyVoice2Engine:
         t_req = time.perf_counter()
         first_emitted = False
         token_offset = 0
+        chunk_index = 0
         hop = self.token_hop_len
         prompt_pad = int(np.ceil(len(flow_prompt_speech_token) / hop) * hop - len(flow_prompt_speech_token))
         gen_done = False
@@ -527,7 +577,14 @@ class CosyVoice2Engine:
                     finalize=False,
                 )
                 token_offset += this_hop
-                hop = min(self.token_max_hop_len, hop * self.stream_scale_factor)
+                hop = self.next_hop(
+                    hop,
+                    chunk_index,
+                    elapsed_s=time.perf_counter() - t_req,
+                    token_offset=token_offset,
+                    n_pending=len(produced) - token_offset,
+                )
+                chunk_index += 1
                 if not first_emitted and wav.size:
                     # engine-side first-chunk latency (excludes frontend/HTTP);
                     # exposed at /metrics for non-tunnel accounting

@@ -123,6 +123,9 @@ def make_stdlib_server(model, host: str = "0.0.0.0", port: int = 50000) -> Threa
         def do_POST(self):  # noqa: N802
             endpoint = self.path.strip("/")
             if endpoint == "metrics/reset":
+                # drain the request body so a keep-alive connection's stream
+                # stays framed if protocol_version is ever bumped to HTTP/1.1
+                self.rfile.read(int(self.headers.get("Content-Length", 0) or 0))
                 payload = json.dumps(_reset_metrics(model)).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

@@ -194,11 +194,12 @@ def test_lm_generate_kv_quant_matches_fp():
 
     lf = teacher_forced_logits(lm)
     lq = teacher_forced_logits(lmq)
-    # fp and int8-KV arenas agree to ~per-mille of the logit scale — far
-    # below the gaps RAS nucleus sampling discriminates on trained models
+    # fp and int8-KV arenas agree to ~2% of the logit scale (measured
+    # 0.0202 on this configuration); the decisive-margin argmax check below
+    # is the functional guarantee that matters for sampling
     dev = np.max(np.abs(lf - lq))
     scale = np.max(np.abs(lf))
-    assert dev < 0.05 * scale, (dev, scale)
+    assert dev < 0.03 * scale, (dev, scale)
     # and top-1 agrees wherever fp's top-2 margin exceeds twice the deviation
     top2 = np.sort(lf, axis=-1)
     margin = top2[:, -1] - top2[:, -2]

@@ -97,6 +97,25 @@ class TestQuantLM:
         assert len(toks) == 30  # stop rows pinned off -> runs to max_len
         assert (toks < c.speech_token_size).all()
 
+    def test_quant_generate_stops_on_eos(self, setup):
+        """Stop-token termination under int8 weights (advisor r3: the pinned
+        tests above never exercise early stop on the quant path): bias the
+        EOS row ON; generation must end exactly at min_len, where the
+        pre-min_len eos suppression lifts."""
+        fp, q, params, params_q = setup
+        c = q.cfg
+        biased = pin_stop_rows(params_q, c.speech_token_size)  # non-EOS stops off
+        bias = biased["params"]["llm_decoder"]["bias"]
+        biased["params"]["llm_decoder"]["bias"] = bias.at[c.eos_token].set(60.0)
+        rng = np.random.default_rng(3)
+        tt = rng.integers(0, 50, 4).astype(np.int32)
+        ids = np.concatenate([[c.sos_id], tt, [c.task_id]]).astype(np.int32)
+        types = np.concatenate([[TYPE_SPECIAL], np.full(4, TYPE_TEXT), [TYPE_SPECIAL]]).astype(np.int32)
+        blocks = list(q.generate(biased, ids, types, K(9), 6, 30))
+        toks = np.concatenate(blocks) if blocks else np.zeros(0, np.int32)
+        assert len(toks) == 6, len(toks)  # stopped at min_len, not max_len
+        assert (toks < c.speech_token_size).all()
+
 
 class TestInt4Ops:
     def test_int4_roundtrip_error_bounded(self):
