@@ -28,8 +28,24 @@ import os
 import re
 import subprocess
 import sys
+import threading
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_T0 = time.time()
+_STAGE = {"name": "startup"}
+
+
+def _heartbeat():
+    while True:
+        time.sleep(30.0)
+        print(f"# hb stage={_STAGE['name']} t={time.time() - _T0:.0f}s", flush=True)
+
+
+def stage(name: str):
+    _STAGE["name"] = name
+    print(f"# stage {name} t={time.time() - _T0:.0f}s", flush=True)
 
 CONFIG = {
     "version": 2,
@@ -71,11 +87,16 @@ CONFIG = {
 }
 
 
-def sh(cmd, **env):
+def sh(cmd, timeout_s: float = 3600.0, **env):
     e = {**os.environ, "JAX_PLATFORMS": os.environ.get("COSY_TEST_PLATFORM", "cpu"),
          "PYTHONPATH": REPO, **{k: str(v) for k, v in env.items()}}
     print("+", " ".join(cmd), flush=True)
-    r = subprocess.run(cmd, cwd=REPO, env=e, capture_output=True, text=True)
+    try:
+        r = subprocess.run(cmd, cwd=REPO, env=e, capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired as te:
+        sys.stderr.write((te.stdout or b"").decode(errors="replace")[-4000:] if isinstance(te.stdout, bytes)
+                         else (te.stdout or "")[-4000:])
+        raise RuntimeError(f"step TIMED OUT after {timeout_s:.0f}s: {' '.join(cmd[:6])}")
     if r.returncode != 0:
         sys.stderr.write(r.stdout[-4000:] + "\n" + r.stderr[-6000:])
         raise RuntimeError(f"step failed: {' '.join(cmd[:6])}")
@@ -101,10 +122,48 @@ def main():
     ap.add_argument("--gan_epochs", type=int, default=40)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--tok_steps", type=int, default=500, help="S3 supervision steps")
-    ap.add_argument("--max_eval_utts", type=int, default=6)
+    ap.add_argument("--max_eval_utts", type=int, default=16)
     ap.add_argument("--check", action="store_true", help="assert quality thresholds")
     ap.add_argument("--out_json", default="", help="also write the metrics JSON here")
     args = ap.parse_args()
+
+    threading.Thread(target=_heartbeat, daemon=True).start()
+
+    def git_rev():
+        try:
+            return subprocess.run(["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                                  capture_output=True, text=True, timeout=10).stdout.strip()
+        except Exception:  # noqa: BLE001
+            return "unknown"
+
+    THRESHOLDS = {"cer_max": 0.6, "token_recovery_min": 0.3, "mel_corr_min": 0.5,
+                  "speaker_similarity_min": 0.5}
+    meta_out = {
+        "git_rev": git_rev(),
+        "n_utts": args.n_utts,
+        "epochs": {"llm": args.lm_epochs, "flow": args.flow_epochs, "gan": args.gan_epochs},
+        "lr": args.lr, "tok_steps": args.tok_steps,
+        "thresholds": THRESHOLDS,
+        "started": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+
+    def write_out(metrics, error=""):
+        if not args.out_json:
+            return
+        out = {**metrics, **meta_out,
+               "wall_s": round(time.time() - _T0, 1),
+               "finished": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        if error:
+            out["error"] = error
+        else:
+            out["thresholds_passed"] = bool(
+                metrics.get("cer") is not None and metrics["cer"] <= THRESHOLDS["cer_max"]
+                and metrics.get("token_recovery", 0) >= THRESHOLDS["token_recovery_min"]
+                and metrics.get("mel_corr", 0) >= THRESHOLDS["mel_corr_min"]
+                and metrics.get("speaker_similarity", 0) >= THRESHOLDS["speaker_similarity_min"]
+            )
+        with open(args.out_json, "w") as f:
+            json.dump(out, f, indent=1)
 
     sys.path.insert(0, REPO)
     # the corpus/tokenizer stages run in THIS process: honor JAX_PLATFORMS=cpu
@@ -120,6 +179,16 @@ def main():
     os.makedirs(model_dir, exist_ok=True)
     with open(os.path.join(model_dir, "config.json"), "w") as f:
         json.dump(CONFIG, f, indent=1)
+
+    try:
+        _pipeline(args, work, model_dir, data_dir, make_corpus, prep_features, write_out)
+    except Exception as e:  # noqa: BLE001 — the artifact must exist even on failure
+        write_out({}, error=f"stage '{_STAGE['name']}': {type(e).__name__}: {e}")
+        raise
+
+
+def _pipeline(args, work, model_dir, data_dir, make_corpus, prep_features, write_out):
+    stage("corpus")
 
     # 1. corpus + features through the model dir's (seeded) frontend; persist
     # the frontend weights so the dir is self-contained
@@ -157,6 +226,7 @@ def main():
     prep_features(data_dir, model_dir)
 
     # 2. parquet shards (the recipe's data packing step)
+    stage("parquet")
     sh([sys.executable, "-m", "cosyvoice_tpu.tools.make_parquet_list",
         "--src_dir", data_dir, "--des_dir", os.path.join(work, "parquet"),
         "--num_utts_per_parquet", "16"])
@@ -167,6 +237,7 @@ def main():
     for model, epochs, lr in (("llm", args.lm_epochs, args.lr),
                               ("flow", args.flow_epochs, args.lr),
                               ("hifigan", args.gan_epochs, None)):
+        stage(f"train_{model}")
         exp = os.path.join(work, f"exp_{model}")
         cmd = [sys.executable, "-m", "cosyvoice_tpu.bin.train", "--config", cfg_path,
                "--model", model, "--train_data", data_list, "--model_dir", exp,
@@ -176,6 +247,8 @@ def main():
         sh(cmd)
 
     # 4. assemble the model dir (reference model-dir layout: llm/flow/hift)
+    stage("assemble")
+    import flax.serialization as ser
     import shutil
 
     shutil.copy(latest_ckpt(os.path.join(work, "exp_llm"), "llm"),
@@ -188,6 +261,7 @@ def main():
         f.write(ser.to_bytes(gen))
 
     # 5. quality numbers through the real eval harness
+    stage("eval")
     eval_dir = os.path.join(data_dir, "eval")
     out = sh([sys.executable, "-m", "cosyvoice_tpu.tools.eval_quality",
               "--model_dir", model_dir,
@@ -201,9 +275,7 @@ def main():
              HERMETIC_DIR=data_dir)
     metrics = json.loads(out.strip().splitlines()[-1])
     print(json.dumps(metrics))
-    if args.out_json:
-        with open(args.out_json, "w") as f:
-            json.dump(metrics, f)
+    write_out(metrics)
     if args.check:
         assert metrics["n"] >= 1
         assert metrics["cer"] <= 0.6, metrics
