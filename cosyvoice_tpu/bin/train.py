@@ -349,11 +349,24 @@ def main():
             logging.warning("checkpoint %s not found; training hifigan from scratch", args.checkpoint)
         gen_params = to_default_device(gen_params)
         disc_params = to_default_device(disc_params)
-        g_opt = optax.adam(2e-4)
-        d_opt = optax.adam(2e-4)
-        gen_step, disc_step = make_gan_train_steps(
-            hift, disc, g_opt, d_opt, GanLossConfig(sample_rate=args.sample_rate, mel_hop=args.mel_hop)
-        )
+        # gan config knobs: adversarial lr (reference hifigan yaml 2e-4),
+        # optional generator-only warmup phase (mel+F0 regression at a higher
+        # lr — the role of the reference recipe's pretrained-hift init), and
+        # a gan-specific batch size (smaller batches = more optimizer steps
+        # per epoch on tiny corpora)
+        gan_lr = float(gan_cfg.get("lr", 2e-4))
+        pretrain_steps = int(gan_cfg.get("pretrain_steps", 0))
+        pretrain_lr = float(gan_cfg.get("pretrain_lr", 1e-3))
+        if "batch_size" in gan_cfg:
+            args.batch_size = int(gan_cfg["batch_size"])
+        # clip-5 parity with the reference trainer, which routes GAN updates
+        # through the same update_parameter_and_lr clip as llm/flow
+        # (utils/executor.py:85-144 -> train_utils.py:291-320); without it
+        # conv_post gradients (maxabs ~2e3 on overfit corpora) NaN the game
+        g_opt = optax.chain(optax.clip_by_global_norm(args.grad_clip), optax.adam(gan_lr))
+        d_opt = optax.chain(optax.clip_by_global_norm(args.grad_clip), optax.adam(gan_lr))
+        loss_cfg = GanLossConfig(sample_rate=args.sample_rate, mel_hop=args.mel_hop)
+        gen_step, disc_step = make_gan_train_steps(hift, disc, g_opt, d_opt, loss_cfg)
         g_state, d_state = g_opt.init(gen_params), d_opt.init(disc_params)
 
         dataset = Dataset(
@@ -361,6 +374,35 @@ def main():
             build_pipeline(args, tokenizer, gan=True, truncate_length=truncate_length),
             rank=rank, world_size=world,
         )
+
+        if pretrain_steps > 0:
+            from cosyvoice_tpu.train.gan import make_generator_pretrain_step
+
+            p_opt = optax.chain(optax.clip_by_global_norm(args.grad_clip), optax.adam(pretrain_lr))
+            p_state = p_opt.init(gen_params)
+            p_step = make_generator_pretrain_step(hift, p_opt, loss_cfg)
+            done, ep = 0, 0
+            import jax as _jax
+
+            while done < pretrain_steps:
+                dataset.set_epoch(10_000 + ep)  # disjoint from the GAN phase's epochs
+                ep += 1
+                for b in iter(dataset):
+                    batch = {
+                        "speech": _jax.numpy.asarray(b["speech"]),
+                        "speech_feat": _jax.numpy.asarray(b["speech_feat"]),
+                        "pitch_feat": _jax.numpy.asarray(b["pitch_feat"]),
+                    }
+                    gen_params, p_state, pm = p_step(
+                        gen_params, p_state, batch, _jax.random.fold_in(key, 77_000 + done)
+                    )
+                    done += 1
+                    if done % args.log_interval == 0:
+                        logging.info("gan pretrain step %d loss=%.4f mel=%.4f", done,
+                                     float(pm["loss"]), float(pm["mel"]))
+                    if done >= pretrain_steps:
+                        break
+            logging.info("generator pretrain done: %d steps, final mel=%.4f", done, float(pm["mel"]))
         # model_name matches the recipes' --model_name hifigan in averaging
         executor = Executor(lambda *a: a, args.model_dir, model_name="hifigan",
                             log_interval=args.log_interval, rank=rank)

@@ -88,3 +88,32 @@ def make_gan_train_steps(hift, disc: MultipleDiscriminator, gen_opt, disc_opt, c
         return disc_params, disc_opt_state, metrics
 
     return gen_step, disc_step
+
+
+def make_generator_pretrain_step(hift, gen_opt, cfg: GanLossConfig = GanLossConfig()):
+    """Generator-only warmup step: mel-L1 + F0 regression, no adversarial
+    terms. Pure regression tolerates a much higher learning rate than the
+    alternating GAN game (which diverges to NaN at ~5x the HiFi-GAN lr), so
+    a short warmup phase gets amplitude/pitch into range quickly before the
+    discriminator turns on — the same role as initializing from a pretrained
+    hift.pt in the reference recipe (examples/libritts/cosyvoice2/run.sh
+    trains hifigan from an existing checkpoint, hifigan yaml).
+    """
+
+    def loss_fn(gen_params, batch, rng):
+        wav_hat, f0 = hift.apply(gen_params, batch["speech_feat"], rng)
+        real = batch["speech"][:, : wav_hat.shape[1]]
+        mel = mel_l1_loss(_gan_mel(real, cfg), _gan_mel(wav_hat, cfg))
+        f0l = f0_l1_loss(batch["pitch_feat"][:, : f0.shape[1]], f0)
+        loss = cfg.mel_weight * mel + cfg.f0_weight * f0l
+        return loss, {"mel": mel, "f0": f0l}
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def pretrain_step(gen_params, gen_opt_state, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params, batch, rng)
+        updates, gen_opt_state = gen_opt.update(grads, gen_opt_state, gen_params)
+        gen_params = optax.apply_updates(gen_params, updates)
+        metrics["loss"] = loss
+        return gen_params, gen_opt_state, metrics
+
+    return pretrain_step
