@@ -36,6 +36,13 @@ from cosyvoice_tpu.ops.resample import interpolate_linear, repeat_interleave_tim
 from cosyvoice_tpu.ops.stft import hann_window, istft, stft
 
 
+def _ste_clip(x, lo, hi):
+    """Straight-through clip: forward = jnp.clip(x, lo, hi), backward =
+    identity. Keeps the reference's clamp semantics at inference while
+    letting training gradients flow across the clip boundary."""
+    return x + jax.lax.stop_gradient(jnp.clip(x, lo, hi) - x)
+
+
 @dataclass(frozen=True)
 class HiFTConfig:
     in_channels: int = 80
@@ -294,7 +301,7 @@ class HiFTGenerator(nn.Module):
 
     def _istft(self, magnitude, phase):
         cfg = self.cfg
-        magnitude = jnp.clip(magnitude, max=1e2)
+        magnitude = _ste_clip(magnitude, None, 1e2)
         spec = magnitude * jnp.cos(phase) + 1j * (magnitude * jnp.sin(phase))
         return istft(spec, cfg.istft_n_fft, cfg.istft_hop, hann_window(cfg.istft_n_fft))
 
@@ -336,12 +343,23 @@ class HiFTGenerator(nn.Module):
         x = self.conv_post(x)  # [B, Tt, 18]
         x = jnp.swapaxes(x, 1, 2)  # [B, 18, Tt]
         n_half = cfg.istft_n_fft // 2 + 1
-        magnitude = jnp.exp(x[:, :n_half, :])
+        # clamp BEFORE exp: forward-equivalent to the reference's
+        # exp-then-clip-at-1e2 (generator.py:529-530) since
+        # min(e^x, 100) == e^min(x, ln 100), but exp's gradient (= itself)
+        # stays bounded instead of overflowing to inf (one x > 88 step NaNs
+        # f32 training through the post-hoc clip otherwise). Straight-through
+        # so an over-range magnitude still receives the corrective gradient.
+        magnitude = jnp.exp(_ste_clip(x[:, :n_half, :], None, 4.6052))  # ln(100)
         phase = jnp.sin(x[:, n_half:, :])
         wav = self._istft(magnitude, phase)
         if cfg.causal and not finalize:
             wav = wav[:, : -int(np.prod(cfg.upsample_rates)) * cfg.istft_hop]
-        return jnp.clip(wav, -cfg.audio_limit, cfg.audio_limit)
+        # straight-through audio limiter: forward identical to the reference
+        # clamp (generator.py:538), backward passes the gradient so training
+        # from random init can recover from an amplitude overshoot instead of
+        # parking on the clip rail where mel-loss gradients vanish (measured:
+        # random-init runs rail at rms ~0.97 and stay there with a hard clip)
+        return _ste_clip(wav, -cfg.audio_limit, cfg.audio_limit)
 
     def predict_f0(self, mel: jax.Array, finalize: bool = True) -> jax.Array:
         if self.cfg.causal:

@@ -83,7 +83,7 @@ def mel_filterbank_htk(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: floa
 # extractors
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_fft", "hop", "win", "sr", "n_mels", "fmin", "fmax"))
+@partial(jax.jit, static_argnames=("n_fft", "hop", "win", "sr", "n_mels", "fmin", "fmax", "grad_safe"))
 def mel_spectrogram(
     x: jax.Array,
     sr: int = 24000,
@@ -93,11 +93,19 @@ def mel_spectrogram(
     n_mels: int = 80,
     fmin: float = 0.0,
     fmax: float = 8000.0,
+    grad_safe: bool = False,
 ) -> jax.Array:
     """Matcha/HiFi-GAN mel: [..., L] -> [..., n_mels, T] with T = 1 + (L-hop)//hop.
 
     Matches matcha.utils.audio.mel_spectrogram (center=False + manual reflect
     pad of (n_fft-hop)/2, magnitude sqrt(power+1e-9), ln(clamp(., 1e-5))).
+
+    grad_safe=True keeps the forward value bit-identical but routes the
+    backward pass through ln(mel + 1e-5) instead of the hard floor clamp:
+    below the 1e-5 floor the parity formula has ZERO gradient, which makes
+    "output silence" a flat trap for any vocoder loss built on this mel
+    (observed: random-init HiFT training parks at rms 0 under the parity
+    mel). Feature extraction and goldens always use the default.
     """
     fb = jnp.asarray(mel_filterbank_slaney(sr, n_fft, n_mels, fmin, fmax))
     pad = (n_fft - hop) // 2
@@ -106,7 +114,11 @@ def mel_spectrogram(
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     mag = jnp.sqrt(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2 + 1e-9)
     mel = jnp.einsum("...tf,mf->...mt", mag, fb)
-    return jnp.log(jnp.clip(mel, min=1e-5))
+    hard = jnp.log(jnp.clip(mel, min=1e-5))
+    if not grad_safe:
+        return hard
+    smooth = jnp.log(mel + 1e-5)
+    return smooth + jax.lax.stop_gradient(hard - smooth)
 
 
 @partial(jax.jit, static_argnames=("n_mels",))

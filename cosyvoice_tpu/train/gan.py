@@ -37,9 +37,12 @@ class GanLossConfig:
 
 
 def _gan_mel(wav, cfg: GanLossConfig):
+    # grad_safe: forward-identical to the parity mel, but the backward pass
+    # crosses the 1e-5 log floor — without it "output silence" is a flat
+    # region of the mel loss and random-init generators park there
     return mel_spectrogram(
         wav, sr=cfg.sample_rate, n_fft=cfg.mel_hop * 4, hop=cfg.mel_hop, win=cfg.mel_hop * 4,
-        fmax=None if cfg.mel_fmax == 0.0 else cfg.mel_fmax,
+        fmax=None if cfg.mel_fmax == 0.0 else cfg.mel_fmax, grad_safe=True,
     )
 
 

@@ -136,8 +136,32 @@ def make_corpus(out_dir: str, n_utts: int = 32, seed: int = 0):
     return out_dir
 
 
+def _augment_variants(w: np.ndarray, rng: np.random.Generator):
+    """Distortion family approximating vocoder artifacts: the re-tokenization
+    metric (eval_quality token_recovery) feeds SYNTHESIZED audio back through
+    the S3 tokenizer, so its codes must be invariant to gain changes, noise
+    floors and spectral tilt — the supervised head alone cannot buy that
+    invariance if the encoder only ever saw clean tones."""
+    out = [w]
+    out.append((0.2 * w).astype(np.float32))  # quiet (whisper-mel floor shifts)
+    snr = 10 ** (rng.uniform(15.0, 25.0) / 20.0)
+    noise = rng.standard_normal(len(w)).astype(np.float32) * (np.std(w) / snr)
+    out.append((w + noise).astype(np.float32))
+    tilt = np.empty_like(w)  # +6 dB/oct-ish: x[n] - 0.5 x[n-1]
+    tilt[0] = w[0]
+    tilt[1:] = w[1:] - 0.5 * w[:-1]
+    out.append(tilt.astype(np.float32))
+    lp = np.empty_like(w)  # gentle lowpass: y[n] = 0.6 y[n-1] + 0.4 x[n]
+    acc = 0.0
+    for i in range(len(w)):  # short wavs; host-side loop is fine
+        acc = 0.6 * acc + 0.4 * w[i]
+        lp[i] = acc
+    out.append(lp.astype(np.float32))
+    return out
+
+
 def train_tokenizer(fe, wavs_16k, frame_labels, steps: int = 500, lr: float = 3e-3,
-                    seed: int = 0):
+                    seed: int = 0, augment: bool = True):
     """Supervised S3-tokenizer training, in place — the hermetic counterpart
     of the ASR supervision the reference tokenizer received (speech_tokenizer
     v2 is distilled from a supervised ASR encoder).
@@ -163,13 +187,16 @@ def train_tokenizer(fe, wavs_16k, frame_labels, steps: int = 500, lr: float = 3e
 
     mod = fe.speech_tokenizer
     c = mod.cfg
+    aug_rng = np.random.default_rng(4242)
     mels, labs = [], []
     for w16, fl in zip(wavs_16k, frame_labels):
-        mel = jnp.swapaxes(
-            whisper_log_mel(jnp.asarray(w16).reshape(1, -1), n_mels=c.n_mels), 1, 2
-        )
-        mels.append(np.asarray(mel[0], np.float32))
-        labs.append(np.asarray(fl, np.int32))
+        w = np.asarray(w16, np.float32).reshape(-1)
+        for var in (_augment_variants(w, aug_rng) if augment else [w]):
+            mel = jnp.swapaxes(
+                whisper_log_mel(jnp.asarray(var).reshape(1, -1), n_mels=c.n_mels), 1, 2
+            )
+            mels.append(np.asarray(mel[0], np.float32))
+            labs.append(np.asarray(fl, np.int32))
     T = max(m.shape[0] for m in mels)
     n_cls = int(max(l.max() for l in labs)) + 1
     T_tok = (T + 1) // 2

@@ -51,7 +51,7 @@ def main():
     os.environ["HERMETIC_DIR"] = data_dir
 
     model = AutoModel(model_dir)
-    eng = model.model
+    eng = model.engine
     fe = model.frontend
     sr = model.sample_rate
 

@@ -52,6 +52,15 @@ CONFIG = {
     "llm": {
         "speech_token_size": 81,
         "block_size": 8,
+        # RAS repetition threshold: win_size*tau_r occurrences of the
+        # candidate in the last 10 tokens trigger a full-softmax resample
+        # (utils/common.py:138-144). The hermetic language's legitimate
+        # token streams are ~6-long constant runs (one word = 6 frames of
+        # one tone), which the default tau_r=0.1 (threshold 1!) flags on
+        # every repeat — measured: token match 0.125 at tau_r 0.1 vs 1.0 at
+        # 2.0 on the same overfit LM. tau_r is a reference yaml knob; 2.0
+        # disables the anti-loop heuristic for this corpus.
+        "tau_r": 2.0,
         "qwen": {
             "hidden_size": 64, "num_layers": 2, "num_heads": 4, "num_kv_heads": 2,
             "head_dim": 16, "intermediate_size": 128, "vocab_size": 300,
@@ -79,8 +88,13 @@ CONFIG = {
             "fsq_levels": [3, 3, 3, 3], "codebook_size": 81, "use_fsq": True,
         }
     },
+    # GAN: generator-only mel+F0 warmup (amplitude sits behind an exp —
+    # Adam needs ~|ln(target/init)|/lr steps to move it, measured ~3000 at
+    # 1e-3), then a short adversarial polish at the HiFi-GAN lr; batch 2
+    # turns the tiny corpus into 16 optimizer steps/epoch instead of 4
     "gan": {"truncate_length": 11520, "mpd_channels": [16, 32, 64, 64],
-            "mrd_resolutions": [[512, 120], [1024, 240]]},
+            "mrd_resolutions": [[512, 120], [1024, 240]],
+            "lr": 2e-4, "pretrain_steps": 5000, "pretrain_lr": 1e-3, "batch_size": 2},
     "train": {"sample_rate": 24000, "mel_hop": 480, "batch_type": "static",
               "batch_size": 8, "accum_grad": 1, "scheduler": "constantlr",
               "warmup_steps": 1, "log_interval": 200, "grad_clip": 5.0},
@@ -118,7 +132,10 @@ def main():
     ap.add_argument("--work", required=True)
     ap.add_argument("--n_utts", type=int, default=32)
     ap.add_argument("--lm_epochs", type=int, default=60)
-    ap.add_argument("--flow_epochs", type=int, default=60)
+    # flow trains at batch 2 (16 steps/epoch): token->mel fidelity is the
+    # pipeline's CER bottleneck after the vocoder fixes, and 60 epochs x 4
+    # steps left it at mel-L1 ~1.6 / word CER 0.5 on its own output
+    ap.add_argument("--flow_epochs", type=int, default=150)
     ap.add_argument("--gan_epochs", type=int, default=40)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--tok_steps", type=int, default=500, help="S3 supervision steps")
@@ -244,6 +261,8 @@ def _pipeline(args, work, model_dir, data_dir, make_corpus, prep_features, write
                "--max_epoch", str(epochs)]
         if lr is not None:
             cmd += ["--lr", str(lr)]
+        if model == "flow":
+            cmd += ["--batch_size", "2"]  # 16 optimizer steps/epoch on 32 utts
         sh(cmd)
 
     # 4. assemble the model dir (reference model-dir layout: llm/flow/hift)
