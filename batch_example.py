@@ -84,15 +84,29 @@ def main():
     print(f"  {args.concurrency} requests in {wall:.2f}s, {total_audio:.2f}s audio, "
           f"aggregate RTF {wall / max(total_audio, 1e-9):.4f}")
 
-    # reseeded stability loop (vllm_example.py:16-19)
+    # reseeded stability loop (vllm_example.py:16-19), with per-iteration RTF
+    # spread so soak runs leave quantitative evidence
     print(f"== stability loop x{args.iters} ==")
+    rtfs = []
     for i in range(args.iters):
         np.random.seed(i)
-        for _ in model.inference_zero_shot(
+        t0 = time.time()
+        n = 0
+        for chunk in model.inference_zero_shot(
             "A short stability check sentence.", "prompt transcript", prompt,
             stream=False, text_frontend=False,
         ):
-            pass
+            n += chunk["tts_speech"].shape[-1]
+        rtfs.append(((time.time() - t0), n / model.sample_rate))
+    # random-weight LMs may legally stop after 1 token (non-EOS stop rows are
+    # samplable pre-min_len, reference llm.py:544-545) — report those
+    # degenerate-length iterations separately instead of letting a ~0s
+    # denominator blow up the RTF spread
+    good = np.sort([w / a for w, a in rtfs if a >= 0.2])
+    print(f"  {len(rtfs)} iterations complete ({len(rtfs) - len(good)} degenerate-length); "
+          f"RTF min {good[0]:.4f} p50 {good[len(good) // 2]:.4f} "
+          f"p95 {good[int(len(good) * 0.95)]:.4f} max {good[-1]:.4f}"
+          if len(good) else f"  {len(rtfs)} iterations complete, all degenerate-length")
     print("done.")
 
 

@@ -378,7 +378,17 @@ def main():
         if pretrain_steps > 0:
             from cosyvoice_tpu.train.gan import make_generator_pretrain_step
 
-            p_opt = optax.chain(optax.clip_by_global_norm(args.grad_clip), optax.adam(pretrain_lr))
+            # warmup->cosine: a constant pretrain lr is init-seed fragile —
+            # some seeds explode conv_post within ~100 steps and park on a
+            # flat loud-noise plateau (mel-L1 ~4.6 for thousands of steps);
+            # 500 warmup steps let the stack organize at a low lr first
+            # (measured: seed 1986 stuck at mel 4.6 with constant 1e-3,
+            # reaches mel 0.95 in 2000 steps with this schedule)
+            p_sched = optax.warmup_cosine_decay_schedule(
+                0.0, pretrain_lr, min(500, max(1, pretrain_steps // 4)),
+                pretrain_steps, pretrain_lr / 5.0,
+            )
+            p_opt = optax.chain(optax.clip_by_global_norm(args.grad_clip), optax.adam(p_sched))
             p_state = p_opt.init(gen_params)
             p_step = make_generator_pretrain_step(hift, p_opt, loss_cfg)
             done, ep = 0, 0
