@@ -502,7 +502,9 @@ def main():
             prompt_feat, embedding, token_offset=0, stream=False, finalize=True,
         )
 
-    if have(120):
+    if not have(120):
+        print("# wall_e2e skipped: budget", flush=True)
+    else:
         try:
             e2e_once(30)
             e2e_once(31)
@@ -517,8 +519,22 @@ def main():
 
     # ---- streaming first-chunk latency through the public engine (wall) ----
     stage("wall_stream", 240)
-    if have(120):
+    if not have(120):
+        print("# wall_stream skipped: budget", flush=True)
+    elif True:
         try:
+            # pin the generated length: zero weights sample uniform logits, so
+            # an unpinned session runs to max_len (600 tokens) and drags the
+            # stream through ever-larger prefix buckets, each a fresh compile.
+            # Biasing the EOS head row ON stops generation exactly at
+            # min_len=60 (eos is suppressed before min_len), which keeps every
+            # chunk in the buckets the device sections already warmed.
+            biased = jax.tree_util.tree_map(lambda v: v, lm_params)
+            brow = biased["params"]["llm_decoder"]["bias"]
+            biased["params"]["llm_decoder"]["bias"] = brow.at[lm.cfg.eos_token].set(60.0)
+            saved_params = engine.lm_params
+            engine.lm_params = biased
+
             def stream_gen(seed):
                 return engine.tts(
                     text_tokens=text,
@@ -531,15 +547,18 @@ def main():
                     rng_seed=seed,
                 )
 
-            for seed in (7, 8):  # warm both streaming programs
-                for _ in stream_gen(seed):
+            try:
+                for seed in (7, 8):  # warm both streaming programs
+                    for _ in stream_gen(seed):
+                        pass
+                t0 = time.time()
+                gen = stream_gen(9)
+                next(gen)
+                RESULT["first_chunk_ms_wall"] = round((time.time() - t0) * 1000.0, 1)
+                for _ in gen:
                     pass
-            t0 = time.time()
-            gen = stream_gen(9)
-            next(gen)
-            RESULT["first_chunk_ms_wall"] = round((time.time() - t0) * 1000.0, 1)
-            for _ in gen:
-                pass
+            finally:
+                engine.lm_params = saved_params
             print(f"# first_chunk_wall {RESULT['first_chunk_ms_wall']}ms", flush=True)
         except Exception as e:  # noqa: BLE001 — optional section
             print(f"# streaming wall section failed: {type(e).__name__}: {e}", flush=True)

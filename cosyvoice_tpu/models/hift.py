@@ -36,11 +36,22 @@ from cosyvoice_tpu.ops.resample import interpolate_linear, repeat_interleave_tim
 from cosyvoice_tpu.ops.stft import hann_window, istft, stft
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(1, 2))
 def _ste_clip(x, lo, hi):
-    """Straight-through clip: forward = jnp.clip(x, lo, hi), backward =
-    identity. Keeps the reference's clamp semantics at inference while
-    letting training gradients flow across the clip boundary."""
-    return x + jax.lax.stop_gradient(jnp.clip(x, lo, hi) - x)
+    """Straight-through clip: forward = jnp.clip(x, lo, hi) BIT-EXACTLY
+    (custom_jvp, not the x + stop_grad(clip-x) trick, which drifts by one
+    ulp), backward = identity. Keeps the reference's clamp semantics at
+    inference while letting training gradients flow across the boundary."""
+    return jnp.clip(x, lo, hi)
+
+
+@_ste_clip.defjvp
+def _ste_clip_jvp(lo, hi, primals, tangents):
+    (x,), (dx,) = primals, tangents
+    return jnp.clip(x, lo, hi), dx
 
 
 @dataclass(frozen=True)

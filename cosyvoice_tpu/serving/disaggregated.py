@@ -179,6 +179,7 @@ class RemoteEngine:
     from cosyvoice_tpu.runtime.engine import CosyVoice2Engine as _E
 
     _squelch = _E._squelch
+    next_hop = _E.next_hop
     silent_tokens: tuple = ()
     max_silent: int = 5
 
@@ -202,6 +203,8 @@ class RemoteEngine:
         self.token_hop_len = token_hop_len
         self.token_max_hop_len = 4 * token_hop_len
         self.stream_scale_factor = 2
+        self.hop_policy = "doubling"
+        self.token_rate = 25
         self.pre_lookahead_len = pre_lookahead_len
         self.token_mel_ratio = token_mel_ratio
         self.seed = seed
