@@ -400,8 +400,7 @@ def main():
             chunk_times.append(time.time() - t0)
             return chunk_times
 
-        stream_pass()  # warm every per-bucket program
-        stream_pass()
+        stream_pass()  # warm every per-bucket program (compile/upload pass)
         ct = stream_pass()
         # engine.token2wav host path syncs once per chunk: subtract one
         # tunnel round trip per chunk for the device-resident number
@@ -449,8 +448,11 @@ def main():
         RESULT["lm_device_s_int4p"] = round(lm_dev_int4p_s, 4)
         RESULT["rtf_int4p_lm"] = round((lm_dev_int4p_s + t2w_dev_s) / audio_seconds, 4)
         # A/B the shift-free unpack scheme (trace-time env; a FRESH Qwen2LM
-        # gets fresh jit wrappers so both schemes are measured in one run)
-        if have(60):
+        # gets fresh jit wrappers so both schemes are measured in one run).
+        # ~60s of warm runtime: only with generous budget — the driver's
+        # default 420s needs the later sections more (BENCH_SELF_r04.json
+        # records the A/B from a 900s self-run)
+        if have(200):
             os.environ["COSY_INT4_UNPACK"] = "fold"
             try:
                 q4f_lm = Qwen2LM(q4_lm.cfg)
