@@ -504,7 +504,7 @@ def main():
             prompt_feat, embedding, token_offset=0, stream=False, finalize=True,
         )
 
-    if not have(120):
+    if not have(55):
         print("# wall_e2e skipped: budget", flush=True)
     else:
         try:
@@ -521,7 +521,7 @@ def main():
 
     # ---- streaming first-chunk latency through the public engine (wall) ----
     stage("wall_stream", 240)
-    if not have(120):
+    if not have(45):
         print("# wall_stream skipped: budget", flush=True)
     elif True:
         try:
