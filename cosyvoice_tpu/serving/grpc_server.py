@@ -83,6 +83,9 @@ def main():
     parser.add_argument("--port", type=int, default=50000)
     parser.add_argument("--model_dir", type=str, default="")
     parser.add_argument("--max_conc", type=int, default=4)
+    parser.add_argument("--hop_policy", type=str, default="",
+                        choices=["", "doubling", "exponential", "time_based"],
+                        help="streaming hop growth (v2/v3; default: model-dir config or doubling)")
     parser.add_argument("--compile_cache", type=str, default="",
                         help="persistent XLA compile-cache dir (default: repo-local host-keyed)")
     args = parser.parse_args()
@@ -95,7 +98,7 @@ def main():
 
     from cosyvoice_tpu.runtime.api import AutoModel
 
-    model = AutoModel(args.model_dir)
+    model = AutoModel(args.model_dir, **({"hop_policy": args.hop_policy} if args.hop_policy else {}))
     server = make_server(model, args.port, args.max_conc)
     server.start()
     logging.info("grpc server listening on :%d", args.port)

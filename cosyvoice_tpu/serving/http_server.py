@@ -241,6 +241,9 @@ def main():
                         help=">0: continuous batching — concurrent requests share one batched LM decode loop")
     parser.add_argument("--compile_cache", type=str, default="",
                         help="persistent XLA compile-cache dir (default: repo-local host-keyed)")
+    parser.add_argument("--hop_policy", type=str, default="",
+                        choices=["", "doubling", "exponential", "time_based"],
+                        help="streaming hop growth (v2/v3; default: model-dir config or doubling)")
     args = parser.parse_args()
 
     from cosyvoice_tpu.utils.compile_cache import enable_persistent_cache
@@ -251,7 +254,7 @@ def main():
 
     from cosyvoice_tpu.runtime.api import AutoModel
 
-    model = AutoModel(args.model_dir)
+    model = AutoModel(args.model_dir, **({"hop_policy": args.hop_policy} if args.hop_policy else {}))
     if args.max_batch > 0:
         model.enable_continuous_batching(max_batch=args.max_batch)
     try:
