@@ -391,13 +391,15 @@ def main():
             p_opt = optax.chain(optax.clip_by_global_norm(args.grad_clip), optax.adam(p_sched))
             p_state = p_opt.init(gen_params)
             p_step = make_generator_pretrain_step(hift, p_opt, loss_cfg)
-            done, ep = 0, 0
+            done, ep, pm = 0, 0, None
             import jax as _jax
 
             while done < pretrain_steps:
                 dataset.set_epoch(10_000 + ep)  # disjoint from the GAN phase's epochs
                 ep += 1
+                epoch_had_batches = False
                 for b in iter(dataset):
+                    epoch_had_batches = True
                     batch = {
                         "speech": _jax.numpy.asarray(b["speech"]),
                         "speech_feat": _jax.numpy.asarray(b["speech_feat"]),
@@ -412,7 +414,13 @@ def main():
                                      float(pm["loss"]), float(pm["mel"]))
                     if done >= pretrain_steps:
                         break
-            logging.info("generator pretrain done: %d steps, final mel=%.4f", done, float(pm["mel"]))
+                if not epoch_had_batches:
+                    # empty shard for this rank: spinning forever here would
+                    # hang the job silently
+                    logging.warning("gan pretrain: dataset yielded no batches; stopping at %d steps", done)
+                    break
+            if pm is not None:
+                logging.info("generator pretrain done: %d steps, final mel=%.4f", done, float(pm["mel"]))
         # model_name matches the recipes' --model_name hifigan in averaging
         executor = Executor(lambda *a: a, args.model_dir, model_name="hifigan",
                             log_interval=args.log_interval, rank=rank)

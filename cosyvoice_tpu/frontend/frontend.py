@@ -78,8 +78,20 @@ class CosyVoiceFrontEnd:
         self._prompt_cache_max = 16
 
     # ---------------- extraction ----------------
-    def _extract_text_token(self, text: str) -> np.ndarray:
+    def _extract_text_token(self, text) -> np.ndarray:
+        """str -> [Lt] int32. A GENERATOR of text pieces (an upstream LLM
+        streaming its output, reference cli/frontend.py:78-93) returns a
+        generator of per-piece token arrays instead — the engine routes that
+        to the bistream decode path."""
+        if hasattr(text, "__next__"):
+            return self._extract_text_token_generator(text)
         return np.asarray(self.tokenizer.encode(text, allowed_special="all"), np.int32)
+
+    def _extract_text_token_generator(self, text_generator):
+        for piece in text_generator:
+            toks = np.asarray(self.tokenizer.encode(piece, allowed_special="all"), np.int32)
+            if toks.size:
+                yield toks
 
     def _extract_speech_token(self, speech_16k: np.ndarray) -> np.ndarray:
         """speech_16k: [1, L] float32 @16 kHz -> [T_tok] int32 (25 Hz)."""
@@ -99,7 +111,12 @@ class CosyVoiceFrontEnd:
         return np.asarray(jnp.swapaxes(mel, 1, 2), np.float32)  # [1, T, 80]
 
     # ---------------- text normalize ----------------
-    def text_normalize(self, text: str, split: bool = True):
+    def text_normalize(self, text, split: bool = True):
+        if hasattr(text, "__next__"):
+            # generator tts_text (bi-streaming input): normalization would
+            # need the full text — skip it, one "segment" = the generator
+            # (reference cli/frontend.py:128-130)
+            return [text] if split else text
         if "<|" in text and "|>" in text:  # ssml passthrough
             return [text] if split else text
         return basic_normalize(text, self.tokenizer.encode, split=split)

@@ -58,6 +58,12 @@ class LMConfig:
     top_k: int = 25
     win_size: int = 10
     tau_r: float = 0.1
+    # serving sampling-convention knobs (the reference's Triton consumer
+    # decodes with top_p 0.95 / top_k 50 / temperature 0.8 /
+    # repetition_penalty 1.1, model_repo/cosyvoice2/1/model.py:116-126).
+    # Defaults are identity: the RAS token streams are bit-unchanged.
+    temperature: float = 1.0
+    repetition_penalty: float = 1.0
     block_size: int = 28  # tokens decoded per device call (= chunk 25 + lookahead 3)
     qwen: Qwen2Config = field(default_factory=Qwen2Config)
     # v3-style token layout: sos/eos/task/fill live inside the speech table
@@ -305,16 +311,26 @@ class Qwen2LM:
         stacked=None,          # whole-step fused int4p pack (built host-side
                                # once per params in _decode_pack, NOT re-staged
                                # on device every block)
+        seen=None,             # [B, head_size] bool presence set for the
+                               # repetition penalty (None = penalty disabled;
+                               # passing it appends the updated set to the
+                               # returns, so default callers are unchanged)
     ):
         """Decode up to block_size tokens fully on device.
 
         Returns (tokens [B, block], logits_next, cache, cur_len, recent,
-        n_decoded, finished).
+        n_decoded, finished[, seen]).
         """
         c = self.cfg
         eos = c.eos_token
 
-        def sample(rng_k, logits, n_dec, rec):
+        def sample(rng_k, logits, n_dec, rec, seen_c):
+            if c.temperature != 1.0:
+                logits = logits / c.temperature
+            if seen_c is not None and c.repetition_penalty != 1.0:
+                from cosyvoice_tpu.ops.sampling import apply_repetition_penalty
+
+                logits = apply_repetition_penalty(logits, seen_c, c.repetition_penalty)
             logp = jax.nn.log_softmax(logits, axis=-1)
             if bistream:
                 # bistream inner loop (llm.py:620-641): the fill token is a
@@ -351,9 +367,9 @@ class Qwen2LM:
             )
 
         def step(carry, _):
-            rng_c, cache_c, cur, logits, rec, n_dec, fin = carry
+            rng_c, cache_c, cur, logits, rec, n_dec, fin, seen_c = carry
             rng_c, k = jax.random.split(rng_c)
-            tok = sample(k, logits, n_dec, rec)
+            tok = sample(k, logits, n_dec, rec, seen_c)
             stop_now = tok >= c.speech_token_size
             tok_out = jnp.where(fin, eos, tok)
             fin_next = fin | stop_now
@@ -361,6 +377,9 @@ class Qwen2LM:
                 fin[:, None], rec, jnp.concatenate([rec[:, 1:], tok[:, None]], axis=1)
             )
             n_dec = jnp.where(fin, n_dec, n_dec + 1)
+            if seen_c is not None:
+                hit = jnp.arange(c.head_size)[None, :] == tok[:, None]
+                seen_c = jnp.where(fin[:, None], seen_c, seen_c | hit)
             if stacked is not None:
                 logits_next, cache_c = self.module.apply(
                     params, tok_out, cur, cache_c, stacked, method="decode_step_fused"
@@ -371,12 +390,13 @@ class Qwen2LM:
                     method="decode_step_ragged" if ragged else "decode_step",
                 )
             cur = cur + jnp.where(fin, 0, 1)
-            return (rng_c, cache_c, cur, logits_next, rec, n_dec, fin_next), tok_out
+            return (rng_c, cache_c, cur, logits_next, rec, n_dec, fin_next, seen_c), tok_out
 
-        carry0 = (rng, cache, cur_len, first_logits, recent, n_decoded, finished)
+        carry0 = (rng, cache, cur_len, first_logits, recent, n_decoded, finished, seen)
         carry, tokens = jax.lax.scan(step, carry0, None, length=block_size)
-        _, cache, cur_len, logits_next, recent, n_decoded, finished = carry
-        return tokens.swapaxes(0, 1), logits_next, cache, cur_len, recent, n_decoded, finished
+        _, cache, cur_len, logits_next, recent, n_decoded, finished, seen = carry
+        out = (tokens.swapaxes(0, 1), logits_next, cache, cur_len, recent, n_decoded, finished)
+        return out + (seen,) if seen is not None else out
 
     def generate(
         self,
@@ -426,6 +446,14 @@ class Qwen2LM:
         n_decoded = jnp.zeros((1,), jnp.int32)
         finished = jnp.zeros((1,), bool)
         min_l = jnp.asarray([min_len], jnp.int32)
+        seen = None
+        if c.repetition_penalty != 1.0:
+            # presence set seeded with the prompt's speech tokens (TRT-LLM
+            # penalizes ids seen anywhere in the sequence)
+            seen_np = np.zeros((1, c.head_size), bool)
+            sp = prompt_ids[np.asarray(prompt_types) == TYPE_SPEECH]
+            seen_np[0, sp[sp < c.head_size]] = True
+            seen = jnp.asarray(seen_np)
 
         produced = 0
         cur_host = T  # host mirror of the worst-case write position
@@ -442,10 +470,12 @@ class Qwen2LM:
             cache = self.grow_cache(cache, self.arena_bucket(cur_host + block_size + 1))
             k = keys[min(block_i, n_blocks - 1)]
             block_i += 1
-            tokens, logits, cache, cur_len, recent, n_decoded, finished = self._jit_decode_block(
+            tokens, logits, cache, cur_len, recent, n_decoded, finished, *seen_out = self._jit_decode_block(
                 params, k, cache, cur_len, logits, recent, n_decoded, min_l, finished, block_size,
-                stacked=self._decode_pack(params, cache),
+                stacked=self._decode_pack(params, cache), seen=seen,
             )
+            if seen_out:
+                seen = seen_out[0]
             cur_host += block_size
             # the ONLY host sync per block: fetch the tokens; stop is derived
             # on host (saves the bool(finished) round trip)
@@ -489,6 +519,12 @@ class Qwen2LM:
         logits = None
         recent = jnp.full((1, c.win_size), -1, jnp.int32)
         n_decoded = jnp.zeros((1,), jnp.int32)
+        seen_state = [None]
+        if c.repetition_penalty != 1.0:
+            seen_np = np.zeros((1, c.head_size), bool)
+            sp = np.asarray(prompt_speech, np.int32)
+            seen_np[0, sp[sp < c.head_size]] = True
+            seen_state[0] = jnp.asarray(seen_np)
         out_count = 0          # decoded tokens including fills (ref out_tokens)
         produced = 0           # yielded speech tokens
         # forced-fill cadence: out index at which a fill must be emitted
@@ -517,11 +553,13 @@ class Qwen2LM:
                 rng_k = jax.random.fold_in(rng, 7919 + out_count)
                 fin0 = jnp.zeros((1,), bool)
                 cache = self.grow_cache(cache, self.arena_bucket(cur_host + steps + 1))
-                tokens, logits, cache, cur, recent, n_decoded, fin = self._jit_decode_block(
+                tokens, logits, cache, cur, recent, n_decoded, fin, *seen_out = self._jit_decode_block(
                     params, rng_k, cache, cur, logits, recent, n_decoded,
                     jnp.asarray([0], jnp.int32), fin0, steps, True,
-                    stacked=self._decode_pack(params, cache),
+                    stacked=self._decode_pack(params, cache), seen=seen_state[0],
                 )
+                if seen_out:
+                    seen_state[0] = seen_out[0]
                 cur_host += steps
                 toks = np.asarray(tokens[0])
                 stop = np.nonzero(toks >= c.speech_token_size)[0]
@@ -581,11 +619,13 @@ class Qwen2LM:
         while produced < max_len and not bool(finished[0]):
             rng, k = jax.random.split(rng)
             cache = self.grow_cache(cache, self.arena_bucket(cur_host + self.cfg.block_size + 1))
-            tokens, logits, cache, cur, recent, n_decoded, finished = self._jit_decode_block(
+            tokens, logits, cache, cur, recent, n_decoded, finished, *seen_out = self._jit_decode_block(
                 params, k, cache, cur, logits, recent, n_decoded,
                 jnp.asarray([0], jnp.int32), finished, self.cfg.block_size, False,
-                stacked=self._decode_pack(params, cache),
+                stacked=self._decode_pack(params, cache), seen=seen_state[0],
             )
+            if seen_out:
+                seen_state[0] = seen_out[0]
             cur_host += self.cfg.block_size
             toks = np.asarray(tokens[0])
             stop_idx = np.nonzero(toks >= c.speech_token_size)[0]

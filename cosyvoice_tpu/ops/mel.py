@@ -118,7 +118,9 @@ def mel_spectrogram(
     if not grad_safe:
         return hard
     smooth = jnp.log(mel + 1e-5)
-    return smooth + jax.lax.stop_gradient(hard - smooth)
+    # forward value is exactly `hard` (the smooth terms cancel bitwise);
+    # the backward pass sees only `smooth`'s gradient
+    return jax.lax.stop_gradient(hard) + (smooth - jax.lax.stop_gradient(smooth))
 
 
 @partial(jax.jit, static_argnames=("n_mels",))

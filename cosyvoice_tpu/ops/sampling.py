@@ -36,6 +36,18 @@ def nucleus_sampling(rng: jax.Array, logp: jax.Array, top_p: float = 0.8, top_k:
     return top_idx[pick]
 
 
+def apply_repetition_penalty(logits: jax.Array, seen: jax.Array, penalty: float) -> jax.Array:
+    """CTRL/TRT-LLM-convention repetition penalty (reference serving config:
+    runtime/triton_trtllm/model_repo/cosyvoice2/1/model.py:116-126 passes
+    repetition_penalty=1.1 to TRT-LLM): for every vocab id marked in `seen`,
+    positive logits are divided by `penalty`, negative multiplied.
+
+    logits: [..., V]; seen: [..., V] bool (ids present in the sequence so
+    far — prompt speech tokens + generated tokens)."""
+    pen = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, pen, logits)
+
+
 def ras_sampling(
     rng: jax.Array,
     logp: jax.Array,

@@ -192,6 +192,32 @@ class CosyVoice2:
     def save_spkinfo(self):
         self.frontend.save_spkinfo(os.path.join(self.model_dir or ".", "spk2info.pkl"))
 
+    def set_sampling(self, top_p=None, top_k=None, temperature=None, repetition_penalty=None):
+        """Override the LM's decode sampling convention (the reference's
+        Triton consumer uses top_p 0.95 / top_k 50 / temperature 0.8 /
+        repetition_penalty 1.1, model_repo/cosyvoice2/1/model.py:116-126;
+        the in-repo default is RAS top_p 0.8 / top_k 25). Rebuilds the LM
+        wrapper with the new config; params are shared. Call before
+        enable_continuous_batching."""
+        import dataclasses
+
+        kw = {}
+        if top_p is not None:
+            kw["top_p"] = float(top_p)
+        if top_k is not None:
+            kw["top_k"] = int(top_k)
+        if temperature is not None:
+            kw["temperature"] = float(temperature)
+        if repetition_penalty is not None:
+            kw["repetition_penalty"] = float(repetition_penalty)
+        if not kw:
+            return self.lm.cfg
+        self.lm = type(self.lm)(dataclasses.replace(self.lm.cfg, **kw))
+        self.engine.lm = self.lm
+        if getattr(self.engine, "scheduler", None) is not None:
+            raise RuntimeError("set_sampling must be called before enable_continuous_batching")
+        return self.lm.cfg
+
     def enable_continuous_batching(self, max_batch: int = 4, block_size=None):
         """Serve concurrent requests with ONE shared LM decode loop: every
         block step decodes all live sessions' next tokens in a single device
@@ -298,6 +324,11 @@ class CosyVoice2:
 
         def jobs():
             for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+                if hasattr(seg, "__next__"):
+                    # generator tts_text: routed to the LM's bistream decode
+                    # (reference cli/cosyvoice.py:91-94 accepts a Generator)
+                    yield self.frontend.frontend_zero_shot(seg, prompt_texts, prompt_wav, zero_shot_spk_id), 0
+                    continue
                 if len(seg) < 0.5 * len(prompt_text):
                     logging.warning("synthesis text %s too short compared to prompt text %s", seg, prompt_text)
                 yield self.frontend.frontend_zero_shot(seg, prompt_texts, prompt_wav, zero_shot_spk_id), len(seg)
@@ -316,13 +347,34 @@ class CosyVoice2:
     ):
         def jobs():
             for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
-                yield self.frontend.frontend_instruct2(seg, instruct_text, prompt_wav, zero_shot_spk_id), len(seg)
+                ln = 0 if hasattr(seg, "__next__") else len(seg)
+                yield self.frontend.frontend_instruct2(seg, instruct_text, prompt_wav, zero_shot_spk_id), ln
 
         yield from self._run_segments(jobs(), stream, speed)
 
     def inference_vc(self, source_speech_16k, prompt_wav, stream=False, speed=1.0):
         mi = self.frontend.frontend_vc(source_speech_16k, prompt_wav)
         yield from self._run(mi, stream, speed, 0.0)
+
+    def inference_sft(self, tts_text, spk_id, stream=False, speed=1.0, text_frontend=True):
+        """Pre-enrolled-speaker synthesis. The reference v2/v3 classes inherit
+        this from CosyVoice (cli/cosyvoice.py:79-89,141): a speaker enrolled
+        via add_zero_shot_spk+save_spkinfo (full prompt set) or a released
+        spk2info entry (bare 'embedding' x-vector) synthesizes without a
+        prompt wav."""
+        info = self.frontend.spk2info[spk_id]
+
+        def jobs():
+            for seg in self.frontend.text_normalize(tts_text, split=True) if text_frontend else [tts_text]:
+                if "embedding" in info:
+                    # released sft-style entry: x-vector only (frontend.py:162-166)
+                    mi = {"flow_embedding": np.asarray(info["embedding"], np.float32).reshape(1, -1)}
+                else:
+                    mi = dict(info)
+                mi["text_tokens"] = self.frontend._extract_text_token(seg)
+                yield mi, (0 if hasattr(seg, "__next__") else len(seg))
+
+        yield from self._run_segments(jobs(), stream, speed)
 
     # ---------------- checkpoint save ----------------
     def save_pretrained(self, out_dir: str):

@@ -105,6 +105,11 @@ class LMBatchScheduler:
         self.n_decoded = jnp.zeros((max_batch,), jnp.int32)
         self.min_len = jnp.zeros((max_batch,), jnp.int32)
         self.finished = jnp.ones((max_batch,), bool)  # empty slots are "finished"
+        # repetition-penalty presence sets (only materialized when the knob
+        # is on: [B, head_size] bool adds ~26 KB/slot)
+        self.seen = (
+            jnp.zeros((max_batch, c.head_size), bool) if c.repetition_penalty != 1.0 else None
+        )
 
         self.slots: List[Optional[_Session]] = [None] * max_batch
         self.pending: "queue.Queue" = queue.Queue()
@@ -154,6 +159,12 @@ class LMBatchScheduler:
         self.n_decoded = self.n_decoded.at[b].set(0)
         self.min_len = self.min_len.at[b].set(sess.min_len)
         self.finished = self.finished.at[b].set(False)
+        if self.seen is not None:
+            c = self.lm.cfg
+            seen_np = np.zeros((c.head_size,), bool)
+            sp = np.asarray(prompt_ids)[np.asarray(prompt_types) == 1]  # TYPE_SPEECH
+            seen_np[sp[sp < c.head_size]] = True
+            self.seen = self.seen.at[b].set(jnp.asarray(seen_np))
         self.slots[b] = sess
 
     def _retire(self, b: int):
@@ -188,13 +199,16 @@ class LMBatchScheduler:
         if need > self.cache[0].shape[2]:
             self.cache = self.lm.grow_cache(self.cache, self.lm.arena_bucket(need))
         k = self._next_key()
-        tokens, self.logits, self.cache, self.cur_len, self.recent, self.n_decoded, self.finished = (
-            self.lm._jit_decode_block(
-                self.params, k, self.cache, self.cur_len, self.logits, self.recent,
-                self.n_decoded, self.min_len, self.finished, self.block_size,
-                ragged=True,  # slots hold different sequence lengths
-            )
+        out = self.lm._jit_decode_block(
+            self.params, k, self.cache, self.cur_len, self.logits, self.recent,
+            self.n_decoded, self.min_len, self.finished, self.block_size,
+            ragged=True,  # slots hold different sequence lengths
+            seen=self.seen,
         )
+        (tokens, self.logits, self.cache, self.cur_len, self.recent,
+         self.n_decoded, self.finished) = out[:7]
+        if self.seen is not None:
+            self.seen = out[7]
         # the ONLY host sync per block. Stop state is derived host-side from
         # the tokens themselves (a live slot flips `finished` exactly when a
         # stop id appears in its block) — fetching `finished` too would be a

@@ -192,6 +192,7 @@ class RemoteEngine:
         pre_lookahead_len: int = 3,
         token_mel_ratio: int = 2,
         seed: int = 1986,
+        hop_policy: str = "doubling",
     ):
         from types import SimpleNamespace
 
@@ -203,7 +204,8 @@ class RemoteEngine:
         self.token_hop_len = token_hop_len
         self.token_max_hop_len = 4 * token_hop_len
         self.stream_scale_factor = 2
-        self.hop_policy = "doubling"
+        assert hop_policy in ("doubling", "exponential", "time_based"), hop_policy
+        self.hop_policy = hop_policy
         self.token_rate = 25
         self.pre_lookahead_len = pre_lookahead_len
         self.token_mel_ratio = token_mel_ratio
@@ -396,7 +398,7 @@ def make_t2w_server(engine, port: int, max_conc: int = 8):
     return server, service
 
 
-def make_gateway_model(model_dir: str, llm_addr: str, t2w_addr: str):
+def make_gateway_model(model_dir: str, llm_addr: str, t2w_addr: str, hop_policy: str = "doubling"):
     """A CosyVoice2-compatible model whose engine is remote: loads ONLY the
     frontend locally (tokenizer, speech-token extractor, CAM++, mel)."""
     import grpc
@@ -406,7 +408,7 @@ def make_gateway_model(model_dir: str, llm_addr: str, t2w_addr: str):
     model = CosyVoice2.__new__(CosyVoice2)  # skip heavy __init__
     CosyVoice2._init_frontend_only(model, model_dir)
     model.engine = RemoteEngine(
-        grpc.insecure_channel(llm_addr), grpc.insecure_channel(t2w_addr)
+        grpc.insecure_channel(llm_addr), grpc.insecure_channel(t2w_addr), hop_policy=hop_policy
     )
     return model
 
@@ -419,12 +421,15 @@ def main():
     parser.add_argument("--llm_addr", type=str, default="localhost:50051")
     parser.add_argument("--t2w_addr", type=str, default="localhost:50052")
     parser.add_argument("--max_batch", type=int, default=4)
+    parser.add_argument("--hop_policy", type=str, default="doubling",
+                        choices=["doubling", "exponential", "time_based"],
+                        help="streaming hop-growth policy for the gateway's chunk consumer")
     args = parser.parse_args()
 
     if args.role == "gateway":
         from cosyvoice_tpu.serving.http_server import make_fastapi_app, make_stdlib_server
 
-        model = make_gateway_model(args.model_dir, args.llm_addr, args.t2w_addr)
+        model = make_gateway_model(args.model_dir, args.llm_addr, args.t2w_addr, args.hop_policy)
         try:
             import uvicorn
 

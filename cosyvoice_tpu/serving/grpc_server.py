@@ -88,6 +88,15 @@ def main():
                         help="streaming hop growth (v2/v3; default: model-dir config or doubling)")
     parser.add_argument("--compile_cache", type=str, default="",
                         help="persistent XLA compile-cache dir (default: repo-local host-keyed)")
+    parser.add_argument("--top_p", type=float, default=None,
+                        help="decode nucleus top_p (Triton convention: 0.95; default RAS 0.8)")
+    parser.add_argument("--top_k", type=int, default=None,
+                        help="decode top_k (Triton convention: 50; default RAS 25)")
+    parser.add_argument("--temperature", type=float, default=None,
+                        help="decode softmax temperature (Triton convention: 0.8; default 1.0)")
+    parser.add_argument("--repetition_penalty", type=float, default=None,
+                        help="CTRL-style repetition penalty over prompt+generated speech tokens "
+                             "(Triton convention: 1.1; default 1.0 = off)")
     args = parser.parse_args()
 
     from cosyvoice_tpu.utils.compile_cache import enable_persistent_cache
@@ -99,6 +108,10 @@ def main():
     from cosyvoice_tpu.runtime.api import AutoModel
 
     model = AutoModel(args.model_dir, **({"hop_policy": args.hop_policy} if args.hop_policy else {}))
+    if any(v is not None for v in (args.top_p, args.top_k, args.temperature, args.repetition_penalty)):
+        model.set_sampling(top_p=args.top_p, top_k=args.top_k, temperature=args.temperature,
+                           repetition_penalty=args.repetition_penalty)
+        logging.info("sampling overrides applied: %s", model.lm.cfg)
     server = make_server(model, args.port, args.max_conc)
     server.start()
     logging.info("grpc server listening on :%d", args.port)

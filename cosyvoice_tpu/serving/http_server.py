@@ -244,6 +244,15 @@ def main():
     parser.add_argument("--hop_policy", type=str, default="",
                         choices=["", "doubling", "exponential", "time_based"],
                         help="streaming hop growth (v2/v3; default: model-dir config or doubling)")
+    parser.add_argument("--top_p", type=float, default=None,
+                        help="decode nucleus top_p (Triton convention: 0.95; default RAS 0.8)")
+    parser.add_argument("--top_k", type=int, default=None,
+                        help="decode top_k (Triton convention: 50; default RAS 25)")
+    parser.add_argument("--temperature", type=float, default=None,
+                        help="decode softmax temperature (Triton convention: 0.8; default 1.0)")
+    parser.add_argument("--repetition_penalty", type=float, default=None,
+                        help="CTRL-style repetition penalty over prompt+generated speech tokens "
+                             "(Triton convention: 1.1; default 1.0 = off)")
     args = parser.parse_args()
 
     from cosyvoice_tpu.utils.compile_cache import enable_persistent_cache
@@ -255,6 +264,10 @@ def main():
     from cosyvoice_tpu.runtime.api import AutoModel
 
     model = AutoModel(args.model_dir, **({"hop_policy": args.hop_policy} if args.hop_policy else {}))
+    if any(v is not None for v in (args.top_p, args.top_k, args.temperature, args.repetition_penalty)):
+        model.set_sampling(top_p=args.top_p, top_k=args.top_k, temperature=args.temperature,
+                           repetition_penalty=args.repetition_penalty)
+        logging.info("sampling overrides applied: %s", model.lm.cfg)
     if args.max_batch > 0:
         model.enable_continuous_batching(max_batch=args.max_batch)
     try:
