@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 
 from cosyvoice_tpu.models.flow_decoder import ConditionalDecoder, EstimatorConfig
-from cosyvoice_tpu.models.flow_matching import CFMConfig, cfm_loss, fixed_noise_buffer, solve_euler
+from cosyvoice_tpu.models.flow_matching import (
+    CFMConfig,
+    cfm_loss,
+    fixed_noise_buffer,
+    solve_euler,
+    solve_euler_chunk,
+)
 from cosyvoice_tpu.nn.conformer import UpsampleConformerEncoder
 from cosyvoice_tpu.ops.masks import make_non_pad_mask
 
@@ -103,6 +109,19 @@ class FlowEncoder(nn.Module):
             context = self.input_embedding(jnp.clip(context_token, 0))
         h, mel_mask = self.encoder(emb, token_len, context=context, streaming=streaming, deterministic=deterministic)
         return self.encoder_proj(h), mel_mask
+
+    def forward_chunk(self, token, context_token, enc_state, pos, real_n):
+        """Incremental encoder chunk: token [B, n] (tail beyond real_n is
+        padding), context_token [B, la] or None (finalize). Returns
+        (mu [B, n*r, 80], new enc_state)."""
+        n = token.shape[1]
+        valid = jnp.arange(n)[None, :] < real_n
+        emb = self.input_embedding(jnp.clip(token, 0)) * valid[..., None]
+        context = None
+        if context_token is not None:
+            context = self.input_embedding(jnp.clip(context_token, 0))
+        h, enc_state = self.encoder.forward_chunk(emb, context, enc_state, pos, real_n)
+        return self.encoder_proj(h), enc_state
 
 
 class DiTFlowEncoder(nn.Module):
@@ -229,6 +248,101 @@ class CausalFlow:
             streaming=streaming,
         )
         return mel * mask_f[..., None]
+
+    # ---------------- incremental streaming (SURVEY §5.7 re-design) ----------------
+    def stream_state(self, B: int = 1, arena_tok: int = 256):
+        """Zero carried state for chunked incremental inference: encoder KV
+        arenas + conv caches, and per-Euler-step estimator caches (stacked
+        [n_timesteps] for the solver scan). Replaces the reference's
+        full-prefix recompute (cli/model.py:294-303): each chunk costs
+        O(chunk * prefix) attention instead of O(prefix^2)."""
+        from cosyvoice_tpu.models.flow_decoder import estimator_stream_state
+
+        c = self.cfg
+        arena_mel = arena_tok * c.token_mel_ratio
+        kv_dtype = c.dtype or jnp.float32
+        C = c.input_size
+        enc = {
+            "pre_conv2": jnp.zeros((B, 2, C)),
+            "up_conv": jnp.zeros((B, c.token_mel_ratio * 2, C)),
+        }
+        for i in range(c.num_blocks):
+            enc[f"enc_{i}"] = (jnp.zeros((B, arena_tok, C), kv_dtype), jnp.zeros((B, arena_tok, C), kv_dtype))
+        for i in range(c.num_up_blocks):
+            enc[f"up_enc_{i}"] = (jnp.zeros((B, arena_mel, C), kv_dtype), jnp.zeros((B, arena_mel, C), kv_dtype))
+        est1 = estimator_stream_state(c.estimator, 2 * B, arena_mel)
+        est = jax.tree.map(lambda a: jnp.zeros((c.cfm.n_timesteps,) + a.shape, a.dtype), est1)
+        return {"enc": enc, "est": est}
+
+    def grow_stream_state(self, state, new_arena_tok: int):
+        """Pad every KV arena to a larger bucket (zeros beyond the frontier
+        are masked by the chunk attention mask, so growth is value-neutral)."""
+        old = state["enc"]["enc_0"][0].shape[1]  # static under jit
+        if new_arena_tok <= old:
+            return state
+        r = self.cfg.token_mel_ratio
+        pad_tok = new_arena_tok - old
+        pad_mel = pad_tok * r
+
+        def pad_axis(a, axis, width):
+            widths = [(0, 0)] * a.ndim
+            widths[axis] = (0, width)
+            return jnp.pad(a, widths)
+
+        enc = {}
+        for k, v in state["enc"].items():
+            if k.startswith("up_enc_"):
+                enc[k] = tuple(pad_axis(a, 1, pad_mel) for a in v)
+            elif k.startswith("enc_"):
+                enc[k] = tuple(pad_axis(a, 1, pad_tok) for a in v)
+            else:
+                enc[k] = v
+        est = {}
+        for k, v in state["est"].items():
+            if "_tf_" in k:  # KV arena pairs [steps, 2B, A_mel, inner]
+                est[k] = tuple(pad_axis(a, 2, pad_mel) for a in v)
+            else:
+                est[k] = v
+        return {"enc": enc, "est": est}
+
+    def inference_chunk(
+        self,
+        params: dict,
+        token_chunk: jax.Array,     # [B, n] new tokens (tail beyond real_n padded)
+        context_token,              # [B, la] lookahead tokens or None (finalize)
+        conds_chunk: jax.Array,     # [B, n*r, 80] prompt-mel slice at this chunk's mel offset
+        embedding: jax.Array,       # [B, 192]
+        state: dict,
+        pos_tok,                    # traced scalar: tokens already consumed
+        real_n,                     # traced scalar: true new tokens in this chunk
+        temperature: float = 1.0,
+    ):
+        """One incremental streaming chunk: returns (mel [B, n*r, 80], state).
+        Rows [0, real_n*r) match the full-prefix streaming recompute's new
+        rows (golden-tested chunked == recompute)."""
+        c = self.cfg
+        mu, enc_st = self.encoder.apply(
+            params["encoder"], token_chunk, context_token, state["enc"], pos_tok, real_n,
+            method="forward_chunk",
+        )
+        spks = self.encoder.apply(params["encoder"], embedding, method="project_spk")
+        n_mel = mu.shape[1]
+        pos_mel = pos_tok * c.token_mel_ratio
+        z_full = jnp.asarray(fixed_noise_buffer())
+        z = jax.lax.dynamic_slice_in_dim(z_full, pos_mel, n_mel, axis=0)[None] * temperature
+        z = jnp.broadcast_to(z, (mu.shape[0], n_mel, z.shape[-1]))
+
+        def est_chunk(p, x2, mu2, t2, spks2, cond2, cache, pos, rn):
+            ones = jnp.ones((x2.shape[0], x2.shape[1]), jnp.float32)
+            return self.estimator.apply(
+                p, x2, ones, mu2, t2, spks2, cond2, False, (cache, pos, rn)
+            )
+
+        mel, est_st = solve_euler_chunk(
+            est_chunk, params["estimator"], z, mu, spks, conds_chunk, c.cfm,
+            state["est"], pos_mel, real_n * c.token_mel_ratio,
+        )
+        return mel, {"enc": enc_st, "est": est_st}
 
     # ---------------- training ----------------
     def loss(

@@ -58,14 +58,67 @@ def _attn_bias(mask: jax.Array, streaming: bool, chunk: int) -> jax.Array:
     return mask_to_bias(m)
 
 
+def _chunk_attn_bias(B: int, n: int, A: int, pos, real_n, chunk: int) -> jax.Array:
+    """Additive bias [B, n, A] for incremental chunk queries at global
+    positions pos+i over an arena with pos+real_n valid keys: the streaming
+    chunk rule (key s visible iff s < (t//chunk+1)*chunk) intersected with
+    the valid frontier. Chunk boundaries are hop-aligned in the engine, so
+    the frontier never truncates a chunk except at finalize — exactly the
+    full-recompute mask restricted to the new rows."""
+    i = jnp.arange(n)[None, :, None]
+    s = jnp.arange(A)[None, None, :]
+    gl = pos + i
+    keep = s < jnp.minimum(pos + real_n, (gl // chunk + 1) * chunk)
+    return mask_to_bias(jnp.broadcast_to(keep, (B, n, A)))
+
+
+def estimator_stream_state(cfg: "EstimatorConfig", B2: int, arena: int):
+    """Zero incremental-chunk state for ONE Euler step of ConditionalDecoder:
+    per-attention KV arenas [B2, arena, inner] + 2-frame causal-conv caches.
+    The CFM solver stacks n_timesteps copies (leading axis) and scans over
+    them. B2 = 2*B (the CFG cond/uncond batch doubling)."""
+    assert cfg.causal and len(cfg.channels) == 1, "chunked estimator: shipped causal config only"
+    inner = cfg.num_heads * cfg.attention_head_dim
+    kv_dtype = cfg.dtype or jnp.float32
+    ch = cfg.channels[0]
+    st = {}
+
+    def tf(name):
+        for j in range(cfg.n_blocks):
+            st[f"{name}_{j}"] = (
+                jnp.zeros((B2, arena, inner), kv_dtype),
+                jnp.zeros((B2, arena, inner), kv_dtype),
+            )
+
+    st["down_resnet_0"] = (jnp.zeros((B2, 2, cfg.in_channels)), jnp.zeros((B2, 2, ch)))
+    tf("down_tf_0")
+    st["down_post_0"] = jnp.zeros((B2, 2, ch))
+    for i in range(cfg.num_mid_blocks):
+        st[f"mid_resnet_{i}"] = (jnp.zeros((B2, 2, ch)), jnp.zeros((B2, 2, ch)))
+        tf(f"mid_tf_{i}")
+    st["up_resnet_0"] = (jnp.zeros((B2, 2, 2 * ch)), jnp.zeros((B2, 2, ch)))
+    tf("up_tf_0")
+    st["up_post_0"] = jnp.zeros((B2, 2, ch))
+    st["final_block"] = jnp.zeros((B2, 2, ch))
+    return st
+
+
 class ConditionalDecoder(nn.Module):
     cfg: EstimatorConfig = EstimatorConfig()
 
     @nn.compact
-    def __call__(self, x, mask, mu, t, spks, cond, streaming: bool = False):
+    def __call__(self, x, mask, mu, t, spks, cond, streaming: bool = False, stream=None):
         """x/mu/cond: [B, T, 80]; mask: [B, T] float; t: [B]; spks: [B, 80].
 
         Returns the estimated vector field [B, T, 80].
+
+        stream=(state, pos, real_n): incremental-chunk mode — x/mu/cond are
+        ONLY the new chunk (T = padded chunk length, real_n true frames),
+        `state` is the estimator_stream_state dict for this Euler step, `pos`
+        the mel frames already in the arenas. Returns (field, new_state).
+        Equal to the full-prefix recompute under chunk-causal masks: every
+        cached K/V row and conv cache depends only on its own (unchanged)
+        prefix inputs.
         """
         cfg = self.cfg
         t_emb = SinusoidalPosEmb(cfg.in_channels)(t)
@@ -83,6 +136,44 @@ class ConditionalDecoder(nn.Module):
                 BasicTransformerBlock(cfg.num_heads, cfg.attention_head_dim, dtype=cfg.dtype, name=f"{name}_{j}")
                 for j in range(cfg.n_blocks)
             ]
+
+        if stream is not None:
+            st, pos, real_n = stream
+            st = dict(st)
+            from cosyvoice_tpu.nn.conv import roll_cache
+
+            B, n, _ = x.shape
+            A = st["down_tf_0_0"][0].shape[1]
+            ch = cfg.channels[0]
+            m = jnp.broadcast_to((jnp.arange(n)[None, :] < real_n), (B, n)).astype(h.dtype)
+            bias = _chunk_attn_bias(B, n, A, pos, real_n, cfg.static_chunk_size)
+
+            def causal3(name, hin):
+                hm = hin * m[..., None]
+                y = CausalConv1d(ch, 3, name=name)(hm, cache=st[name])
+                st[name] = roll_cache(st[name], hm, real_n)
+                return y
+
+            h, st["down_resnet_0"] = resnet(ch, "down_resnet_0")(h, m, t_emb, st["down_resnet_0"], real_n)
+            for j, blk in enumerate(tblocks("down_tf_0")):
+                h, st[f"down_tf_0_{j}"] = blk(h, bias, st[f"down_tf_0_{j}"], pos)
+            skip = h
+            h = causal3("down_post_0", h)
+
+            for i in range(cfg.num_mid_blocks):
+                h, st[f"mid_resnet_{i}"] = resnet(ch, f"mid_resnet_{i}")(h, m, t_emb, st[f"mid_resnet_{i}"], real_n)
+                for j, blk in enumerate(tblocks(f"mid_tf_{i}")):
+                    h, st[f"mid_tf_{i}_{j}"] = blk(h, bias, st[f"mid_tf_{i}_{j}"], pos)
+
+            h = jnp.concatenate([h, skip], axis=-1)
+            h, st["up_resnet_0"] = resnet(ch, "up_resnet_0")(h, m, t_emb, st["up_resnet_0"], real_n)
+            for j, blk in enumerate(tblocks("up_tf_0")):
+                h, st[f"up_tf_0_{j}"] = blk(h, bias, st[f"up_tf_0_{j}"], pos)
+            h = causal3("up_post_0", h)
+
+            h, st["final_block"] = CausalBlock1D(ch, name="final_block")(h, m, st["final_block"], real_n)
+            out = Conv1d(cfg.out_channels, 1, name="final_proj")(h * m[..., None])
+            return out * m[..., None], st
 
         hiddens = []
         masks = [mask]

@@ -80,6 +80,56 @@ def solve_euler(
     return x
 
 
+def solve_euler_chunk(
+    estimator_apply_chunk,
+    estimator_params,
+    z: jax.Array,
+    mu: jax.Array,
+    spks: jax.Array,
+    cond: jax.Array,
+    cfg: CFMConfig,
+    caches,
+    pos,
+    real_n,
+) -> tuple:
+    """Incremental-chunk CFG Euler: one chunk's trajectory, with per-step
+    estimator caches (KV arenas + conv caches) carried between chunks.
+
+    z/mu/cond: [B, n, 80] — the NEW chunk only (z sliced from the fixed
+    noise buffer at the chunk's absolute mel offset). caches: pytree whose
+    leaves carry a leading [n_timesteps] axis (one estimator state per Euler
+    step — each step's trajectory x_t differs, so each needs its own arena).
+    The scan consumes step i's cache as xs and emits the updated one as ys:
+    chunk cost is O(chunk * prefix) attention instead of the full-recompute
+    O(prefix^2). Returns (mel_chunk [B, n, 80], new caches).
+
+    estimator_apply_chunk(params, x2, mu2, t2, spks2, cond2, cache, pos,
+    real_n) -> (field [2B, n, 80], new_cache).
+    """
+    B = z.shape[0]
+    t_span = jnp.asarray(t_span_cosine(cfg.n_timesteps))
+    ts = t_span[:-1]
+    dts = t_span[1:] - t_span[:-1]
+
+    mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+    spks2 = jnp.concatenate([spks, jnp.zeros_like(spks)], axis=0)
+    cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+    r = cfg.inference_cfg_rate
+
+    def step(x, inp):
+        (t, dt), cache_t = inp
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.full((2 * B,), t, x.dtype)
+        out, cache_t = estimator_apply_chunk(
+            estimator_params, x2, mu2, t2, spks2, cond2, cache_t, pos, real_n
+        )
+        dphi = (1.0 + r) * out[:B] - r * out[B:]
+        return x + dt * dphi, cache_t
+
+    x, caches = jax.lax.scan(step, z, ((ts, dts), caches))
+    return x, caches
+
+
 def cfm_loss(
     estimator_apply,
     estimator_params,

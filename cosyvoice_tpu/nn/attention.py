@@ -73,6 +73,36 @@ class MultiHeadAttention(nn.Module):
         return self._out(masked_softmax(scores, mask).astype(v.dtype), v), (k, v)
 
 
+    def attend_chunk(self, query, key, value, k_arena, v_arena, pos, mask):
+        """Incremental chunk attention over a fixed KV arena.
+
+        query/key/value: [B, n, C] — the new chunk (tail may be padding;
+        padded rows write garbage into the arena at >= pos + real_n, which
+        `mask` must exclude and the NEXT chunk's write overwrites).
+        k_arena/v_arena: [B, A, C]; new K/V rows are written at [pos, pos+n).
+        pos: traced scalar — positions already in the arena.
+        mask: [B, n, A] bool (True = attend): key-validity + chunk mask.
+
+        Returns (out [B, n, C], k_arena, v_arena). Bit-equal to the full
+        recompute under chunk-causal masks: K/V of a position depend only on
+        that position's input, which is unchanged by suffix extension.
+        """
+        B, n, _ = query.shape
+        d_k = self.n_feat // self.n_head
+        k_new = self.linear_k(key)
+        v_new = self.linear_v(value)
+        k_arena = jax.lax.dynamic_update_slice(k_arena, k_new.astype(k_arena.dtype), (0, pos, 0))
+        v_arena = jax.lax.dynamic_update_slice(v_arena, v_new.astype(v_arena.dtype), (0, pos, 0))
+        A = k_arena.shape[1]
+        q = self.linear_q(query).reshape(B, n, self.n_head, d_k)
+        k = k_arena.reshape(B, A, self.n_head, d_k).astype(q.dtype)
+        v = v_arena.reshape(B, A, self.n_head, d_k)
+        scores = jnp.einsum("bnhd,bahd->bhna", q, k).astype(jnp.float32) / np.sqrt(d_k)
+        attn = masked_softmax(scores, mask).astype(v.dtype)
+        x = jnp.einsum("bhna,bahd->bnhd", attn, v).reshape(B, n, self.n_feat)
+        return self.linear_out(x), k_arena, v_arena
+
+
 class RelPositionMultiHeadAttention(MultiHeadAttention):
     """Transformer-XL style rel-pos MHA with espnet PE table."""
 
@@ -121,3 +151,35 @@ class RelPositionMultiHeadAttention(MultiHeadAttention):
             matrix_bd = self.rel_shift(matrix_bd, t2)
         scores = (matrix_ac + matrix_bd) / np.sqrt(d_k)
         return self._out(masked_softmax(scores, mask).astype(v.dtype), v), (k, v)
+
+    def attend_chunk(self, query, key, value, k_arena, v_arena, pos, mask, pos_emb=None):
+        """Chunked rel-pos attention over a fixed KV arena (see base class).
+
+        pos_emb: [1, 2A-1, C] espnet table built for length A (offset 0) —
+        table index p corresponds to rel = (A-1) - p, so the bias for query
+        at global position pos+i vs key s is row p = (A-1-pos) + (s-i)."""
+        B, n, _ = query.shape
+        d_k = self.n_feat // self.n_head
+        A = k_arena.shape[1]
+        k_new = self.linear_k(key)
+        v_new = self.linear_v(value)
+        k_arena = jax.lax.dynamic_update_slice(k_arena, k_new.astype(k_arena.dtype), (0, pos, 0))
+        v_arena = jax.lax.dynamic_update_slice(v_arena, v_new.astype(v_arena.dtype), (0, pos, 0))
+        q = self.linear_q(query).reshape(B, n, self.n_head, d_k)
+        k = k_arena.reshape(B, A, self.n_head, d_k).astype(q.dtype)
+        v = v_arena.reshape(B, A, self.n_head, d_k)
+        p = self.linear_pos(pos_emb).reshape(1, -1, self.n_head, d_k)  # [1, 2A-1, H, d]
+        q_u = q + self.pos_bias_u.astype(q.dtype)
+        q_v = q + self.pos_bias_v.astype(q.dtype)
+        matrix_ac = jnp.einsum("bnhd,bahd->bhna", q_u, k).astype(jnp.float32)
+        bd_full = jnp.einsum("bnhd,bphd->bhnp", q_v, p.astype(q.dtype)).astype(jnp.float32)
+        i = jnp.arange(n)[:, None]
+        s = jnp.arange(A)[None, :]
+        idx = (A - 1 - pos) + (s - i)  # [n, A]
+        matrix_bd = jnp.take_along_axis(
+            bd_full, jnp.broadcast_to(idx, (B, self.n_head, n, A)), axis=-1
+        )
+        scores = (matrix_ac + matrix_bd) / np.sqrt(d_k)
+        attn = masked_softmax(scores, mask).astype(v.dtype)
+        x = jnp.einsum("bhna,bahd->bnhd", attn, v).reshape(B, n, self.n_feat)
+        return self.linear_out(x), k_arena, v_arena

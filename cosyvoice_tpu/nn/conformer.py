@@ -65,9 +65,13 @@ class ConformerEncoderLayer(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None, deterministic=True):
+    def __call__(self, x, att_mask=None, pos_emb=None, pad_mask=None, deterministic=True, arena=None, pos=None):
+        """arena=(k_arena, v_arena), pos: incremental-chunk mode — x is the
+        new chunk, att_mask a bool [B, n, A] arena mask; returns
+        (y, new_arena). Full mode returns y."""
         drop = nn.Dropout(self.dropout_rate)
         if self.macaron_style:
+            assert arena is None, "chunk mode: macaron not used by flow configs"
             residual = x
             xn = nn.LayerNorm(epsilon=1e-12, name="norm_ff_macaron")(x)
             x = residual + 0.5 * drop(
@@ -83,9 +87,17 @@ class ConformerEncoderLayer(nn.Module):
         attn_cls = (
             RelPositionMultiHeadAttention if self.selfattention_layer_type == "rel_selfattn" else MultiHeadAttention
         )
-        x_att, _ = attn_cls(self.attention_heads, self.size, key_bias=self.key_bias, dtype=self.dtype, name="self_attn")(
-            xn, xn, xn, mask=att_mask, pos_emb=pos_emb
-        )
+        attn = attn_cls(self.attention_heads, self.size, key_bias=self.key_bias, dtype=self.dtype, name="self_attn")
+        new_arena = None
+        if arena is not None:
+            assert not self.use_cnn_module, "chunk mode: cnn module not used by flow configs"
+            if self.selfattention_layer_type == "rel_selfattn":
+                x_att, k_a, v_a = attn.attend_chunk(xn, xn, xn, arena[0], arena[1], pos, att_mask, pos_emb)
+            else:
+                x_att, k_a, v_a = attn.attend_chunk(xn, xn, xn, arena[0], arena[1], pos, att_mask)
+            new_arena = (k_a, v_a)
+        else:
+            x_att, _ = attn(xn, xn, xn, mask=att_mask, pos_emb=pos_emb)
         x = residual + drop(x_att, deterministic=deterministic)
 
         if self.use_cnn_module:
@@ -106,7 +118,7 @@ class ConformerEncoderLayer(nn.Module):
         )
         if self.use_cnn_module:
             x = nn.LayerNorm(epsilon=1e-12, name="norm_final")(x)
-        return x
+        return x if arena is None else (x, new_arena)
 
 
 class LinearInputLayer(nn.Module):
@@ -186,15 +198,35 @@ class PreLookaheadLayer(nn.Module):
     pre_lookahead_len: int = 3
 
     @nn.compact
-    def __call__(self, x, context=None):
-        """x: [B, T, C]; context: [B, pre_lookahead_len, C] future tokens or None."""
+    def __call__(self, x, context=None, cache=None, real_n=None):
+        """x: [B, T, C]; context: [B, pre_lookahead_len, C] future tokens or None.
+
+        cache/real_n: incremental-chunk mode — x is the new chunk (already
+        embedded+scaled, tail beyond real_n zero), context goes at index
+        real_n; `cache` [B, 2, C_mid] holds the previous chunk's last two
+        conv1 outputs (conv2's left context). Returns (y, new_cache). The
+        lookahead context tokens equal the NEXT chunk's first real tokens,
+        so chunk outputs match the full recompute exactly."""
         in_ch = x.shape[-1]
+        la = self.pre_lookahead_len
+        if cache is not None:
+            from cosyvoice_tpu.nn.conv import roll_cache
+
+            buf = jnp.concatenate([x, jnp.zeros((x.shape[0], la, in_ch), x.dtype)], axis=1)
+            if context is not None:
+                buf = jax.lax.dynamic_update_slice(buf, context.astype(buf.dtype), (0, real_n, 0))
+            h = Conv1d(self.channels, la + 1, name="conv1")(buf)  # VALID -> [B, T, mid]
+            h = jax.nn.leaky_relu(h, negative_slope=0.01)
+            h2 = jnp.concatenate([cache, h], axis=1)
+            new_cache = roll_cache(cache, h, real_n)
+            y = Conv1d(in_ch, 3, name="conv2")(h2)
+            return y + x, new_cache
         if context is None:
-            h = jnp.pad(x, ((0, 0), (0, self.pre_lookahead_len), (0, 0)))
+            h = jnp.pad(x, ((0, 0), (0, la), (0, 0)))
         else:
-            assert context.shape[1] == self.pre_lookahead_len
+            assert context.shape[1] == la
             h = jnp.concatenate([x, context], axis=1)
-        h = Conv1d(self.channels, self.pre_lookahead_len + 1, name="conv1")(h)
+        h = Conv1d(self.channels, la + 1, name="conv1")(h)
         h = jax.nn.leaky_relu(h, negative_slope=0.01)
         h = jnp.pad(h, ((0, 0), (2, 0), (0, 0)))
         h = Conv1d(in_ch, 3, name="conv2")(h)
@@ -208,10 +240,46 @@ class Upsample1DConv(nn.Module):
     stride: int = 2
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cache=None, real_n=None):
+        """cache/real_n: incremental-chunk mode — cache [B, stride*2, C]
+        holds the previous chunk's last repeated inputs; real_n counts REAL
+        (pre-upsample) frames in x. Returns (y, new_cache)."""
         x = jnp.repeat(x, self.stride, axis=1)
+        if cache is not None:
+            from cosyvoice_tpu.nn.conv import roll_cache
+
+            buf = jnp.concatenate([cache, x], axis=1)
+            new_cache = roll_cache(cache, x, real_n * self.stride)
+            return Conv1d(self.channels, self.stride * 2 + 1, name="conv")(buf), new_cache
         x = jnp.pad(x, ((0, 0), (self.stride * 2, 0), (0, 0)))
         return Conv1d(self.channels, self.stride * 2 + 1, name="conv")(x)
+
+
+def chunk_arena_mask(B: int, n: int, A: int, pos, real_n, chunk: int) -> jax.Array:
+    """Bool attention mask [B, n, A] for incremental chunk queries at global
+    positions pos+i over an arena with pos+real_n valid keys, under the
+    streaming chunk rule (key s visible iff s < (t//chunk+1)*chunk)."""
+    i = jnp.arange(n)[None, :, None]
+    s = jnp.arange(A)[None, None, :]
+    keep = s < jnp.minimum(pos + real_n, ((pos + i) // chunk + 1) * chunk)
+    return jnp.broadcast_to(keep, (B, n, A))
+
+
+def upsample_encoder_stream_state(enc: "UpsampleConformerEncoder", B: int, arena_tok: int, arena_mel: int):
+    """Zero incremental-chunk state for UpsampleConformerEncoder: KV arenas
+    for the 6 token-rate and 4 mel-rate conformer layers + the lookahead
+    conv2 / upsample conv caches."""
+    kv_dtype = enc.dtype or jnp.float32
+    C = enc.output_size
+    st = {
+        "pre_conv2": jnp.zeros((B, 2, C)),
+        "up_conv": jnp.zeros((B, enc.up_stride * 2, C)),
+    }
+    for i in range(enc.num_blocks):
+        st[f"enc_{i}"] = (jnp.zeros((B, arena_tok, C), kv_dtype), jnp.zeros((B, arena_tok, C), kv_dtype))
+    for i in range(enc.num_up_blocks):
+        st[f"up_enc_{i}"] = (jnp.zeros((B, arena_mel, C), kv_dtype), jnp.zeros((B, arena_mel, C), kv_dtype))
+    return st
 
 
 class UpsampleConformerEncoder(nn.Module):
@@ -289,3 +357,46 @@ class UpsampleConformerEncoder(nn.Module):
         for layer in self.up_encoders:
             xs = layer(xs, att_mask2, pos_emb2, pad_mask2, deterministic)
         return self.after_norm(xs), pad_mask2
+
+    def forward_chunk(self, xs, context, st, pos, real_n):
+        """Incremental streaming chunk (the SURVEY §5.7 TPU re-design: carried
+        KV arenas instead of the reference's O(T^2) full-prefix recompute,
+        cli/model.py:294-303).
+
+        xs: [B, n, C] RAW token embeddings of the new chunk (zero tail beyond
+        real_n); context: [B, pre_lookahead_len, C] raw embeddings of the
+        lookahead tokens, or None (finalize). st: upsample_encoder_stream_state
+        dict; pos: tokens already consumed. Chunk boundaries must be
+        hop-aligned (multiples of static_chunk_size), which the engine's
+        prompt pad guarantees. Returns (h [B, n*up_stride, C], new_st) —
+        bit-equal to __call__'s rows [pos, pos+real_n) because every cached
+        row depends only on its own chunk-causal prefix.
+        """
+        st = dict(st)
+        B, n, _ = xs.shape
+        A_tok = st["enc_0"][0].shape[1]
+        A_mel = st["up_enc_0"][0].shape[1]
+        xs = self.embed(xs, True)
+        xs = xs * self.pos_enc.xscale
+        valid = jnp.arange(n)[None, :] < real_n
+        xs = xs * valid[..., None]
+        ctx_emb = None
+        if context is not None:
+            ctx_emb = self.embed(context, True) * self.pos_enc.xscale
+        xs, st["pre_conv2"] = self.pre_lookahead_layer(xs, ctx_emb, st["pre_conv2"], real_n)
+        pe_tok = self.pos_enc.position_encoding(0, A_tok)
+        mask_tok = chunk_arena_mask(B, n, A_tok, pos, real_n, self.static_chunk_size)
+        for i, layer in enumerate(self.encoders):
+            xs, st[f"enc_{i}"] = layer(xs, mask_tok, pe_tok, None, True, arena=st[f"enc_{i}"], pos=pos)
+        xs, st["up_conv"] = self.up_layer(xs, st["up_conv"], real_n)
+        xs = self.up_embed(xs, True)
+        xs = xs * self.up_pos_enc.xscale
+        pe_mel = self.up_pos_enc.position_encoding(0, A_mel)
+        pos2 = pos * self.up_stride
+        mask_mel = chunk_arena_mask(
+            B, n * self.up_stride, A_mel, pos2, real_n * self.up_stride,
+            self.static_chunk_size * self.up_stride,
+        )
+        for i, layer in enumerate(self.up_encoders):
+            xs, st[f"up_enc_{i}"] = layer(xs, mask_mel, pe_mel, None, True, arena=st[f"up_enc_{i}"], pos=pos2)
+        return self.after_norm(xs), st

@@ -126,6 +126,18 @@ class WNConvTranspose1d(nn.Module):
         return y + self.param("bias", nn.initializers.zeros, (self.features,))
 
 
+def roll_cache(cache: jax.Array, x: jax.Array, real_n) -> jax.Array:
+    """Advance a causal-conv left-context cache past a chunk.
+
+    cache: [B, P, C] frames left of the chunk; x: [B, n, C] the chunk INPUT
+    (tail beyond real_n may be padding). Returns the P frames ending at the
+    REAL boundary: concat(cache, x)[:, real_n : real_n + P] — i.e.
+    x[real_n-P : real_n], reaching back into the old cache when real_n < P.
+    """
+    buf = jnp.concatenate([cache, x.astype(cache.dtype)], axis=1)
+    return jax.lax.dynamic_slice_in_dim(buf, real_n, cache.shape[1], axis=1)
+
+
 class CausalConv1d(nn.Module):
     """One-sided conv with (k-1)*d pad on the left or right.
 

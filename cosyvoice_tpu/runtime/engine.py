@@ -44,6 +44,12 @@ class SessionState:
     # v3 (pure-causal vocoder): cumulative mel + emitted-sample offset
     mel_cumulative: Optional[np.ndarray] = None
     speech_offset: int = 0
+    # incremental streaming flow (SURVEY §5.7): carried KV/conv state + the
+    # number of (prompt + body) tokens already consumed; arena size mirrors
+    # the device state host-side so growth never needs a device fetch
+    flow_state: Optional[dict] = None
+    flow_pos: int = 0
+    flow_arena: int = 0
 
 
 def _bucket(n: int, b: int) -> int:
@@ -103,6 +109,25 @@ class _Prefetcher:
             raise StopIteration
         return item
 
+    def drain_nowait(self):
+        """Pop every block already buffered, without blocking. The engine
+        drains before computing the adaptive next hop so `n_pending` counts
+        the full LM backlog (the reference consumer's measure), not just the
+        tokens that happened to be pulled already."""
+        import queue
+
+        items = []
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is self._END:
+                self._q.put(item)  # keep the sentinel for __next__
+                break
+            items.append(item)
+        return items
+
 
 class CosyVoice2Engine:
     def __init__(
@@ -119,6 +144,8 @@ class CosyVoice2Engine:
         relative_bucket: float = 0.125,
         seed: int = 1986,
         hop_policy: str = "doubling",
+        incremental_flow: bool = True,
+        flow_arena0: int = 256,
     ):
         self.lm = lm
         self.flow = flow
@@ -172,6 +199,24 @@ class CosyVoice2Engine:
         self._jit_t2w_stream = jax.jit(
             self._t2w_stream_impl, static_argnames=("chunk_mel", "first")
         )
+        # incremental streaming flow: carried KV arenas + conv caches instead
+        # of the reference's O(T^2) full-prefix recompute (SURVEY §5.7). Each
+        # chunk is ONE device program: flow chunk -> emit slice -> HiFT ->
+        # cross-fade, with the flow state resident on device between chunks.
+        self.incremental_flow = incremental_flow and getattr(flow.cfg, "estimator_type", "unet") == "unet"
+        self.flow_arena0 = flow_arena0
+        self._jit_t2w_stream_incr = jax.jit(
+            self._t2w_stream_incr_impl, static_argnames=("chunk_mel", "first")
+        )
+        self._jit_flow_chunk_incr = jax.jit(
+            lambda fp, tok, ctx, conds, emb, st, pos, rn: self.flow.inference_chunk(
+                fp, tok, ctx, conds, emb, st, pos, rn
+            )
+        )
+        self._jit_grow_flow = jax.jit(
+            self.flow.grow_stream_state, static_argnames=("new_arena_tok",)
+        ) if self.incremental_flow else None
+        self._flow_state0 = {}  # arena -> jitted zero-state builder
 
 
     def _seed_key(self, seed=None):
@@ -234,6 +279,163 @@ class CosyVoice2Engine:
         new_source_cache = src[:, -self.source_cache_len :]
         new_speech_cache = wav[:, -self.source_cache_len :]
         return wav[:, : -self.source_cache_len], new_mel_cache, new_source_cache, new_speech_cache
+
+    def _t2w_stream_incr_impl(
+        self,
+        flow_params,
+        hift_params,
+        tok_chunk,      # [1, n_pad] new tokens (prompt rows included on the first chunk)
+        ctx,            # [1, la] lookahead tokens
+        conds_chunk,    # [1, n_pad*r, 80] prompt-mel slice at this chunk's offset
+        emb,
+        flow_state,
+        pos_tok,        # [] traced: tokens already consumed
+        real_n,         # [] traced: true new tokens
+        emit_start,     # [] traced: first emitted mel row within the chunk
+        rng,
+        mel_cache,
+        source_cache,
+        speech_cache,
+        chunk_mel: int,
+        first: bool,
+    ):
+        """One fused INCREMENTAL streaming chunk: flow chunk over carried KV
+        arenas -> emit slice -> HiFT cache splice -> vocode -> cross-fade.
+        O(chunk * prefix) instead of the recompute's O(prefix^2); everything
+        stays on device, only the chunk wav crosses to the host."""
+        mel_chunk, flow_state = self.flow.inference_chunk(
+            flow_params, tok_chunk, ctx, conds_chunk, emb, flow_state, pos_tok, real_n
+        )
+        mel_new = jax.lax.dynamic_slice(mel_chunk, (0, emit_start, 0), (1, chunk_mel, 80))
+        if first:
+            mel = mel_new
+            wav, src = self.hift.apply(hift_params, mel, rng, method="inference")
+        else:
+            mel = jnp.concatenate([mel_cache, mel_new], axis=1)
+            wav, src = self.hift.apply(hift_params, mel, rng, cache_source=source_cache, method="inference")
+            n = self.source_cache_len
+            w = jnp.asarray(self.speech_window)
+            head = wav[:, :n] * w[n:] + speech_cache * w[:n]
+            wav = jnp.concatenate([head, wav[:, n:]], axis=1)
+        new_mel_cache = mel[:, -self.mel_cache_len :]
+        new_source_cache = src[:, -self.source_cache_len :]
+        new_speech_cache = wav[:, -self.source_cache_len :]
+        return wav[:, : -self.source_cache_len], new_mel_cache, new_source_cache, new_speech_cache, flow_state
+
+    def _flow_stream_state(self, arena: int):
+        """Fresh zero flow-stream state on device (ONE jitted program per
+        arena size — eager zeros would be ~250 op dispatches)."""
+        fn = self._flow_state0.get(arena)
+        if fn is None:
+            fn = jax.jit(lambda: self.flow.stream_state(1, arena))
+            self._flow_state0[arena] = fn
+        return fn()
+
+    def _ensure_flow_capacity(self, state, need_tok: int):
+        """Grow the session's flow arenas to cover need_tok positions."""
+        if state.flow_state is None:
+            arena = self.flow_arena0
+            while arena < need_tok:
+                arena *= 2
+            state.flow_state = self._flow_stream_state(arena)
+            state.flow_arena = arena
+            state.flow_pos = 0
+        elif state.flow_arena < need_tok:
+            arena = state.flow_arena
+            while arena < need_tok:
+                arena *= 2
+            state.flow_state = self._jit_grow_flow(state.flow_state, new_arena_tok=arena)
+            state.flow_arena = arena
+
+    def _stream_chunk_incr(self, state, tokens, prompt_token, prompt_feat, embedding, token_offset, this_hop):
+        """Host wrapper for the incremental streaming chunk."""
+        t_start = time.perf_counter()
+        la = self.pre_lookahead_len
+        r = self.token_mel_ratio
+        all_tokens = np.concatenate([prompt_token, tokens]).astype(np.int32)
+        consumed = state.flow_pos
+        n_real = len(prompt_token) + token_offset + this_hop - consumed
+        ctx = jnp.asarray(all_tokens[None, consumed + n_real : consumed + n_real + la])
+        n_pad = _bucket(n_real, 16)
+        chunk = np.zeros((1, n_pad), np.int32)
+        chunk[0, :n_real] = all_tokens[consumed : consumed + n_real]
+        pm = prompt_feat.shape[1]
+        conds = np.zeros((1, n_pad * r, 80), np.float32)
+        lo = consumed * r
+        if lo < pm:
+            k = min(pm - lo, n_pad * r)
+            conds[0, :k] = prompt_feat[0, lo : lo + k]
+        emit_start = (n_real - this_hop) * r
+        self._ensure_flow_capacity(state, consumed + n_pad)
+
+        first = state.hift_mel_cache is None
+        zeros_mel = jnp.zeros((1, self.mel_cache_len, 80), jnp.float32)
+        zeros_src = jnp.zeros((1, self.source_cache_len), jnp.float32)
+        wav, mc, sc, spc, state.flow_state = self._jit_t2w_stream_incr(
+            self.flow_params,
+            self.hift_params,
+            jnp.asarray(chunk),
+            ctx,
+            jnp.asarray(conds),
+            jnp.asarray(embedding),
+            state.flow_state,
+            jnp.asarray(consumed),
+            jnp.asarray(n_real),
+            jnp.asarray(emit_start),
+            self._seed_key(),
+            state.hift_mel_cache if not first else zeros_mel,
+            state.hift_source_cache if not first else zeros_src,
+            state.hift_speech_cache if not first else zeros_src,
+            chunk_mel=this_hop * r,
+            first=first,
+        )
+        state.flow_pos = consumed + n_real
+        state.hift_mel_cache, state.hift_source_cache, state.hift_speech_cache = mc, sc, spc
+        out = np.asarray(wav)
+        self.timer.add("stream_chunk", time.perf_counter() - t_start)
+        return out
+
+    def _finalize_incr(self, state, tokens, prompt_token, prompt_feat, embedding, token_offset):
+        """Final incremental chunk: run the remaining tokens through the flow
+        state (no lookahead), then the engine's normal bucketed vocode +
+        fade path on the emitted mel."""
+        t_start = time.perf_counter()
+        r = self.token_mel_ratio
+        all_tokens = np.concatenate([prompt_token, tokens]).astype(np.int32)
+        consumed = state.flow_pos
+        rem = len(all_tokens) - consumed
+        if rem > 0:
+            n_pad = _bucket(rem, 16)
+            chunk = np.zeros((1, n_pad), np.int32)
+            chunk[0, :rem] = all_tokens[consumed:]
+            pm = prompt_feat.shape[1]
+            conds = np.zeros((1, n_pad * r, 80), np.float32)
+            lo = consumed * r
+            if lo < pm:
+                k = min(pm - lo, n_pad * r)
+                conds[0, :k] = prompt_feat[0, lo : lo + k]
+            self._ensure_flow_capacity(state, consumed + n_pad)
+            mel_chunk, state.flow_state = self._jit_flow_chunk_incr(
+                self.flow_params, jnp.asarray(chunk), None, jnp.asarray(conds),
+                jnp.asarray(embedding), state.flow_state, jnp.asarray(consumed), jnp.asarray(rem),
+            )
+            state.flow_pos = consumed + rem
+            mel = np.asarray(mel_chunk)[:, : rem * r]
+        else:
+            mel = np.zeros((1, 0, 80), np.float32)
+        self.timer.add("flow", time.perf_counter() - t_start)
+
+        if mel.shape[1] == 0 and state.hift_mel_cache is None:
+            return np.zeros((1, 0), np.float32)
+        if state.hift_mel_cache is not None:
+            mel = np.concatenate([np.asarray(state.hift_mel_cache), mel], axis=1)
+            cache_source = np.asarray(state.hift_source_cache)
+        else:
+            cache_source = np.zeros((1, 0), np.float32)
+        wav, _ = self._vocode(mel, cache_source, self._seed_key())
+        if state.hift_speech_cache is not None:
+            wav = self._fade(wav, np.asarray(state.hift_speech_cache))
+        return wav
 
     def _stream_chunk_fused(self, state, tokens, prompt_token, prompt_feat, embedding, token_offset, this_hop):
         """Device-resident streaming chunk (non-final). Returns host wav."""
@@ -362,13 +564,23 @@ class CosyVoice2Engine:
         speed: float = 1.0,
     ) -> np.ndarray:
         """Reference cli/model.py:292-326 semantics."""
+        # incremental flow assumes body mel starts exactly at the prompt mel's
+        # end (the 24 kHz frontend forces feat == 2*tokens); odd prompts (vc
+        # edge cases) fall back to the recompute path
+        incr = self.incremental_flow and prompt_feat.shape[1] == len(prompt_token) * self.token_mel_ratio
         if stream and not finalize and self.fused_stream:
             this_hop = len(tokens) - token_offset - self.pre_lookahead_len
             if this_hop <= 0 and state.hift_mel_cache is None:
                 return np.zeros((1, 0), np.float32)
+            if incr:
+                return self._stream_chunk_incr(
+                    state, tokens, prompt_token, prompt_feat, embedding, token_offset, this_hop
+                )
             return self._stream_chunk_fused(
                 state, tokens, prompt_token, prompt_feat, embedding, token_offset, this_hop
             )
+        if stream and finalize and incr and speed == 1.0 and state.flow_state is not None:
+            return self._finalize_incr(state, tokens, prompt_token, prompt_feat, embedding, token_offset)
         all_tokens = np.concatenate([prompt_token, tokens])
         mel = self._flow_chunk(all_tokens, prompt_feat, embedding, streaming=stream, finalize=finalize)
         mel = mel[:, prompt_feat.shape[1] + token_offset * self.token_mel_ratio :]
@@ -577,6 +789,10 @@ class CosyVoice2Engine:
                     finalize=False,
                 )
                 token_offset += this_hop
+                # include blocks the LM already finished but the consumer
+                # hasn't pulled, so the adaptive policies see the true backlog
+                for blk in token_gen.drain_nowait():
+                    produced.extend(blk.tolist())
                 hop = self.next_hop(
                     hop,
                     chunk_index,

@@ -213,3 +213,38 @@ class TestBucketGeo:
         # monotone: longer input never gets a smaller bucket
         ps = [_bucket_geo(n, b, rel) for n in range(1, 8193)]
         assert all(a <= c for a, c in zip(ps, ps[1:]))
+
+
+class TestIncrementalStream:
+    def test_incremental_matches_recompute(self, engine):
+        """The incremental-flow streaming path (carried KV arenas, O(chunk *
+        prefix)) must produce the same chunks as the full-prefix recompute
+        path (the reference semantics, cli/model.py:292-326)."""
+        rng = np.random.default_rng(9)
+        inputs = prompt_inputs(rng)
+        assert engine.incremental_flow
+        incr = [o["tts_speech"] for o in engine.tts(**inputs, stream=True, rng_seed=13)]
+
+        rec_eng = CosyVoice2Engine(
+            engine.lm, engine.flow, engine.hift,
+            engine.lm_params, engine.flow_params, engine.hift_params,
+            token_hop_len=CHUNK, token_bucket=16, mel_bucket=8,
+            incremental_flow=False,
+        )
+        rec = [o["tts_speech"] for o in rec_eng.tts(**inputs, stream=True, rng_seed=13)]
+        assert len(incr) == len(rec)
+        for i, (a, b) in enumerate(zip(incr, rec)):
+            assert a.shape == b.shape, f"chunk {i}: {a.shape} vs {b.shape}"
+            scale = max(np.abs(b).max(), 1e-6)
+            diff = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
+            assert diff < 2e-3, f"chunk {i}: rel diff {diff}"
+
+    def test_incremental_state_reset_between_sessions(self, engine):
+        """Two sessions through the same engine must not share flow state."""
+        rng = np.random.default_rng(10)
+        inputs = prompt_inputs(rng)
+        a = [o["tts_speech"] for o in engine.tts(**inputs, stream=True, rng_seed=17)]
+        b = [o["tts_speech"] for o in engine.tts(**inputs, stream=True, rng_seed=17)]
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
