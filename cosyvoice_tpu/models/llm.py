@@ -489,6 +489,50 @@ class Qwen2LM:
             if len(toks):
                 yield toks
 
+    def generate_continue(
+        self,
+        params: dict,
+        state: tuple,     # (cache, cur_len, logits, recent, n_decoded, finished) device state
+        min_l,            # [1] int32 device array (same one generate built)
+        max_len: int,
+        keys,             # [n_blocks, 2] key schedule from _split_chain
+        key_start: int,   # blocks already consumed by the fused first-chunk program
+        produced0: int,   # tokens already yielded by those blocks
+        cur_host0: int,   # host mirror of the arena write position
+        block_size: Optional[int] = None,
+    ):
+        """Continue `generate`'s block loop from mid-stream device state.
+
+        The engine's fused first-chunk program (runtime/engine.py) runs
+        prefill + the first block(s) inside one device program; this picks up
+        the identical key schedule at keys[key_start], so the token stream is
+        bit-equal to an uninterrupted generate()."""
+        c = self.cfg
+        block_size = block_size or c.block_size
+        cache, cur_len, logits, recent, n_decoded, finished = state
+        produced, cur_host = produced0, cur_host0
+        n_blocks = keys.shape[0]
+        stop_seen = False
+        block_i = key_start
+        while produced < max_len and not stop_seen:
+            cache = self.grow_cache(cache, self.arena_bucket(cur_host + block_size + 1))
+            k = keys[min(block_i, n_blocks - 1)]
+            block_i += 1
+            tokens, logits, cache, cur_len, recent, n_decoded, finished = self._jit_decode_block(
+                params, k, cache, cur_len, logits, recent, n_decoded, min_l, finished, block_size,
+                stacked=self._decode_pack(params, cache),
+            )
+            cur_host += block_size
+            toks = np.asarray(tokens[0])
+            stop_idx = np.nonzero(toks >= c.speech_token_size)[0]
+            if len(stop_idx):
+                toks = toks[: stop_idx[0]]
+                stop_seen = True
+            toks = toks[: max_len - produced]
+            produced += len(toks)
+            if len(toks):
+                yield toks
+
     # ---------------- bistream (streaming text input) ----------------
     def generate_bistream(
         self,

@@ -248,3 +248,38 @@ class TestIncrementalStream:
         assert len(a) == len(b)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_speculative_first_chunk_matches(self, engine):
+        """The fused speculative first chunk (prefill + LM blocks + flow chunk
+        + HiFT in one program) must be invisible: chunks and totals equal the
+        non-speculative engine for the same seed — including seeds where the
+        LM stops early and the speculation is discarded."""
+        slow = CosyVoice2Engine(
+            engine.lm, engine.flow, engine.hift,
+            engine.lm_params, engine.flow_params, engine.hift_params,
+            token_hop_len=CHUNK, token_bucket=16, mel_bucket=8,
+        )
+        slow.speculative_first_chunk = False
+        rng = np.random.default_rng(21)
+        inputs = prompt_inputs(rng)
+        assert engine.speculative_first_chunk
+        checked_ok = checked_fail = False
+        for seed in range(19, 27):
+            fast = [o["tts_speech"] for o in engine.tts(**inputs, stream=True, rng_seed=seed)]
+            ref = [o["tts_speech"] for o in slow.tts(**inputs, stream=True, rng_seed=seed)]
+            assert len(fast) == len(ref), f"seed {seed}: {len(fast)} vs {len(ref)} chunks"
+            for i, (a, b) in enumerate(zip(fast, ref)):
+                assert a.shape == b.shape, f"seed {seed} chunk {i}"
+                scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+                diff = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
+                assert diff < 2e-3, f"seed {seed} chunk {i}: rel diff {diff}"
+            # classify which branch ran (total tokens >= first-chunk need?)
+            total = sum(np.asarray(c).shape[1] for c in ref)
+            need = (CHUNK + (CHUNK - len(inputs["flow_prompt_speech_token"]) % CHUNK) % CHUNK
+                    + engine.pre_lookahead_len)
+            if total // 480 >= need * 2:
+                checked_ok = True
+            else:
+                checked_fail = True
+        assert checked_ok, "no seed exercised a successful speculation"
+        # early-stop seeds are probabilistic; only note coverage, don't require
