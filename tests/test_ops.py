@@ -232,3 +232,90 @@ def _exact_got_support(logp):
     from cosyvoice_tpu.ops.sampling import nucleus_sampling
 
     return {int(nucleus_sampling(jax.random.PRNGKey(1000 + i), logp)) for i in range(400)}
+
+
+class TestSamplingKnobs:
+    """Serving sampling-convention knobs (reference Triton consumer:
+    top_p 0.95 / top_k 50 / temperature 0.8 / repetition_penalty 1.1,
+    runtime/triton_trtllm/model_repo/cosyvoice2/1/model.py:116-126)."""
+
+    def test_repetition_penalty_formula(self):
+        import jax.numpy as jnp
+
+        from cosyvoice_tpu.ops.sampling import apply_repetition_penalty
+
+        logits = jnp.asarray([2.0, -2.0, 1.0, -1.0])
+        seen = jnp.asarray([True, True, False, False])
+        out = np.asarray(apply_repetition_penalty(logits, seen, 1.25))
+        # CTRL convention: positive seen logits divided, negative multiplied
+        np.testing.assert_allclose(out, [2.0 / 1.25, -2.0 * 1.25, 1.0, -1.0], rtol=1e-6)
+
+    def test_temperature_changes_decode_distribution(self):
+        """A colder temperature concentrates the LM's sampled tokens; default
+        temperature leaves the RAS stream bit-unchanged (parity guard)."""
+        import dataclasses
+
+        import jax
+
+        from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+        from cosyvoice_tpu.models.qwen2 import Qwen2Config
+
+        qwen = Qwen2Config(hidden_size=32, num_layers=1, num_heads=2, num_kv_heads=1,
+                           head_dim=16, intermediate_size=64, vocab_size=64,
+                           max_cache_len=128, dtype=jnp.float32)
+        base_cfg = LMConfig(speech_token_size=24, block_size=24, top_p=1.0, top_k=24, qwen=qwen)
+        lm = Qwen2LM(base_cfg)
+        params = lm.init(jax.random.PRNGKey(0))
+        ids = np.asarray([base_cfg.sos_id, 3, 5, base_cfg.task_id], np.int32)
+        types = np.asarray([2, 0, 0, 2], np.int32)
+
+        def stream(cfg, seed):
+            m = Qwen2LM(cfg)
+            toks = []
+            for b in m.generate(params, ids, types, jax.random.PRNGKey(seed), 16, 16):
+                toks.extend(b.tolist())
+            return toks
+
+        cold_cfg = dataclasses.replace(base_cfg, temperature=0.05)
+        uniq_base = {len(set(stream(base_cfg, s))) for s in range(4)}
+        uniq_cold = [len(set(stream(cold_cfg, s))) for s in range(4)]
+        # near-zero temperature -> argmax-like decoding -> far fewer distinct ids
+        assert np.mean(uniq_cold) < np.mean(list(uniq_base)), (uniq_cold, uniq_base)
+        # identity knobs leave the stream unchanged
+        same_cfg = dataclasses.replace(base_cfg, temperature=1.0, repetition_penalty=1.0)
+        assert stream(base_cfg, 1) == stream(same_cfg, 1)
+
+    def test_repetition_penalty_reduces_repeats(self):
+        import dataclasses
+
+        import jax
+
+        from cosyvoice_tpu.models.llm import LMConfig, Qwen2LM
+        from cosyvoice_tpu.models.qwen2 import Qwen2Config
+
+        qwen = Qwen2Config(hidden_size=32, num_layers=1, num_heads=2, num_kv_heads=1,
+                           head_dim=16, intermediate_size=64, vocab_size=64,
+                           max_cache_len=128, dtype=jnp.float32)
+        # near-greedy sampling so the unpenalized stream loops hard
+        base_cfg = LMConfig(speech_token_size=24, block_size=24, top_p=1.0, top_k=24,
+                            temperature=0.05, tau_r=2.0, qwen=qwen)
+        lm = Qwen2LM(base_cfg)
+        params = lm.init(jax.random.PRNGKey(0))
+        ids = np.asarray([base_cfg.sos_id, 3, 5, base_cfg.task_id], np.int32)
+        types = np.asarray([2, 0, 0, 2], np.int32)
+
+        def max_run(cfg, seed):
+            m = Qwen2LM(cfg)
+            toks = []
+            for b in m.generate(params, ids, types, jax.random.PRNGKey(seed), 20, 20):
+                toks.extend(b.tolist())
+            best = run = 1
+            for a, b_ in zip(toks, toks[1:]):
+                run = run + 1 if a == b_ else 1
+                best = max(best, run)
+            return best
+
+        pen_cfg = dataclasses.replace(base_cfg, repetition_penalty=3.0)
+        runs_base = [max_run(base_cfg, s) for s in range(3)]
+        runs_pen = [max_run(pen_cfg, s) for s in range(3)]
+        assert np.mean(runs_pen) < np.mean(runs_base), (runs_pen, runs_base)
