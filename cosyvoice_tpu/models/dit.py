@@ -55,12 +55,22 @@ def _rotate_half_interleaved(x):
     return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
 
 
-def apply_partial_rope(x: jax.Array, dim_head: int) -> jax.Array:
-    """Rotate the first dim_head dims of [..., T, D] (x-transformers quirk)."""
+def apply_partial_rope(x: jax.Array, dim_head: int, pos=None, max_len: int = 0) -> jax.Array:
+    """Rotate the first dim_head dims of [..., T, D] (x-transformers quirk).
+
+    pos/max_len: incremental-chunk mode — x covers absolute positions
+    [pos, pos+T) of a sequence bounded by max_len; the table rows are sliced
+    at the traced offset so chunk rope == full-sequence rope."""
     T = x.shape[-2]
-    cos, sin = _rope_tables(dim_head, T)
+    if pos is None:
+        cos, sin = _rope_tables(dim_head, T)
+        cos_j, sin_j = jnp.asarray(cos), jnp.asarray(sin)
+    else:
+        cos, sin = _rope_tables(dim_head, max_len)
+        cos_j = jax.lax.dynamic_slice_in_dim(jnp.asarray(cos), pos, T, axis=0)
+        sin_j = jax.lax.dynamic_slice_in_dim(jnp.asarray(sin), pos, T, axis=0)
     head, rest = x[..., :dim_head], x[..., dim_head:]
-    head = head * jnp.asarray(cos) + _rotate_half_interleaved(head) * jnp.asarray(sin)
+    head = head * cos_j + _rotate_half_interleaved(head) * sin_j
     return jnp.concatenate([head, rest], axis=-1)
 
 
@@ -87,14 +97,27 @@ class CausalConvPositionEmbedding(nn.Module):
     groups: int = 16
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, caches=None, real_n=None):
+        """caches=(c1, c2) [B, k-1, dim]: incremental-chunk mode — c1 holds
+        the masked inputs, c2 the post-mish conv1 outputs left of the chunk;
+        returns (h, new_caches)."""
         from cosyvoice_tpu.nn.activation import mish
+        from cosyvoice_tpu.nn.conv import Conv1d
 
         if mask is not None:
             x = jnp.where(mask[..., None], x, 0.0)
-        h = jnp.pad(x, ((0, 0), (self.kernel_size - 1, 0), (0, 0)))
-        from cosyvoice_tpu.nn.conv import Conv1d
+        if caches is not None:
+            from cosyvoice_tpu.nn.conv import roll_cache
 
+            c1, c2 = caches
+            h1 = mish(Conv1d(self.dim, self.kernel_size, groups=self.groups, name="conv1")(
+                jnp.concatenate([c1, x], axis=1)))
+            h = mish(Conv1d(self.dim, self.kernel_size, groups=self.groups, name="conv2")(
+                jnp.concatenate([c2, h1], axis=1)))
+            if mask is not None:
+                h = jnp.where(mask[..., None], h, 0.0)
+            return h, (roll_cache(c1, x, real_n), roll_cache(c2, h1, real_n))
+        h = jnp.pad(x, ((0, 0), (self.kernel_size - 1, 0), (0, 0)))
         h = mish(Conv1d(self.dim, self.kernel_size, groups=self.groups, name="conv1")(h))
         h = jnp.pad(h, ((0, 0), (self.kernel_size - 1, 0), (0, 0)))
         h = mish(Conv1d(self.dim, self.kernel_size, groups=self.groups, name="conv2")(h))
@@ -107,7 +130,10 @@ class DiTBlock(nn.Module):
     cfg: DiTConfig
 
     @nn.compact
-    def __call__(self, x, t_emb, attn_mask):
+    def __call__(self, x, t_emb, attn_mask, arena=None, pos=None):
+        """arena=(k_arena, v_arena) [B, A, inner], pos: incremental-chunk
+        mode — x is the new chunk, attn_mask a bool [B, n, A] arena mask;
+        returns (y, new_arena)."""
         c = self.cfg
         mod = nn.Dense(c.dim * 6, name="adaln")(jax.nn.silu(t_emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
@@ -119,12 +145,24 @@ class DiTBlock(nn.Module):
         q = nn.Dense(inner, name="to_q")(h)
         k = nn.Dense(inner, name="to_k")(h)
         v = nn.Dense(inner, name="to_v")(h)
-        q = apply_partial_rope(q, c.dim_head)
-        k = apply_partial_rope(k, c.dim_head)
         B, T, _ = h.shape
+        new_arena = None
+        if arena is None:
+            q = apply_partial_rope(q, c.dim_head)
+            k = apply_partial_rope(k, c.dim_head)
+            S = T
+        else:
+            A = arena[0].shape[1]
+            q = apply_partial_rope(q, c.dim_head, pos=pos, max_len=A)
+            k = apply_partial_rope(k, c.dim_head, pos=pos, max_len=A)
+            k_arena = jax.lax.dynamic_update_slice(arena[0], k.astype(arena[0].dtype), (0, pos, 0))
+            v_arena = jax.lax.dynamic_update_slice(arena[1], v.astype(arena[1].dtype), (0, pos, 0))
+            new_arena = (k_arena, v_arena)
+            k, v = k_arena, v_arena
+            S = A
         q = q.reshape(B, T, c.heads, c.dim_head)
-        k = k.reshape(B, T, c.heads, c.dim_head)
-        v = v.reshape(B, T, c.heads, c.dim_head)
+        k = k.reshape(B, S, c.heads, c.dim_head)
+        v = v.reshape(B, S, c.heads, c.dim_head)
         scores = jnp.einsum("bthd,bshd->bhts", q, k) / np.sqrt(c.dim_head)
         scores = jnp.where(attn_mask[:, None, :, :], scores, -1e30)
         attn = jax.nn.softmax(scores, axis=-1)
@@ -137,7 +175,22 @@ class DiTBlock(nn.Module):
         h = nn.Dense(c.dim * c.ff_mult, name="ff_in")(h)
         h = jax.nn.gelu(h, approximate=True)
         h = nn.Dense(c.dim, name="ff_out")(h)
-        return x + gate_mlp[:, None] * h
+        y = x + gate_mlp[:, None] * h
+        return y if arena is None else (y, new_arena)
+
+
+def dit_stream_state(cfg: DiTConfig, B2: int, arena: int):
+    """Zero incremental-chunk state for ONE Euler step of DiTEstimator: KV
+    arenas per block + the conv-position-embedding caches. B2 = 2*B (CFG
+    batch doubling); stack n_timesteps copies outside for the solver scan."""
+    inner = cfg.heads * cfg.dim_head
+    st = {"conv_pos": (jnp.zeros((B2, 30, cfg.dim)), jnp.zeros((B2, 30, cfg.dim)))}
+    for i in range(cfg.depth):
+        st[f"blocks_{i}"] = (
+            jnp.zeros((B2, arena, inner)),
+            jnp.zeros((B2, arena, inner)),
+        )
+    return st
 
 
 class DiTEstimator(nn.Module):
@@ -146,14 +199,41 @@ class DiTEstimator(nn.Module):
     cfg: DiTConfig = DiTConfig()
 
     @nn.compact
-    def __call__(self, x, mask, mu, t, spks, cond, streaming: bool = False):
-        """x/mu/cond: [B, T, 80]; mask: [B, T] float; t: [B]; spks: [B, 80]."""
+    def __call__(self, x, mask, mu, t, spks, cond, streaming: bool = False, stream=None):
+        """x/mu/cond: [B, T, 80]; mask: [B, T] float; t: [B]; spks: [B, 80].
+
+        stream=(state, pos, real_n): incremental-chunk mode (see
+        ConditionalDecoder) — x/mu/cond are the new chunk only; returns
+        (field, new_state)."""
         c = self.cfg
         B, T, _ = x.shape
         t_emb = DiTTimestepEmbedding(c.dim, c.freq_embed_dim, name="time_embed")(t)
 
         spk_b = jnp.broadcast_to(spks[:, None, :], (B, T, spks.shape[-1]))
         h = nn.Dense(c.dim, name="input_proj")(jnp.concatenate([x, cond, mu, spk_b], axis=-1))
+
+        if stream is not None:
+            st, pos, real_n = stream
+            st = dict(st)
+            A = st["blocks_0"][0].shape[1]
+            m = jnp.arange(T)[None, :] < real_n
+            hc, st["conv_pos"] = CausalConvPositionEmbedding(c.dim, name="conv_pos")(
+                h, jnp.broadcast_to(m, (B, T)), st["conv_pos"], real_n
+            )
+            h = hc + h
+            i_q = jnp.arange(T)[None, :, None]
+            s_k = jnp.arange(A)[None, None, :]
+            keep = s_k < jnp.minimum(pos + real_n, ((pos + i_q) // c.static_chunk_size + 1) * c.static_chunk_size)
+            am = jnp.broadcast_to(keep, (B, T, A))
+            for i in range(c.depth):
+                h, st[f"blocks_{i}"] = DiTBlock(c, name=f"blocks_{i}")(h, t_emb, am, st[f"blocks_{i}"], pos)
+            mod = nn.Dense(c.dim * 2, name="final_adaln")(jax.nn.silu(t_emb))
+            scale, shift = jnp.split(mod, 2, axis=-1)
+            h = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="norm_out")(h)
+            h = h * (1 + scale)[:, None, :] + shift[:, None, :]
+            out = nn.Dense(c.mel_dim, name="proj_out")(h)
+            return out * m[..., None], st
+
         h = CausalConvPositionEmbedding(c.dim, name="conv_pos")(h, mask > 0.5) + h
 
         pad = mask > 0.5

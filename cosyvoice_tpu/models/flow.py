@@ -164,6 +164,20 @@ class DiTFlowEncoder(nn.Module):
         mel_mask = jnp.repeat(mask, c.token_mel_ratio, axis=1)
         return h, mel_mask
 
+    def forward_chunk(self, token, context_token, enc_state, pos, real_n):
+        """Incremental encoder chunk (v3: lookahead conv + repeat, no
+        attention — only the conv2 cache carries between chunks)."""
+        c = self.cfg
+        n = token.shape[1]
+        valid = jnp.arange(n)[None, :] < real_n
+        emb = self.input_embedding(jnp.clip(token, 0)) * valid[..., None]
+        ctx = None
+        if context_token is not None:
+            ctx = self.input_embedding(jnp.clip(context_token, 0))
+        st = dict(enc_state)
+        h, st["pre_conv2"] = self.pre_lookahead_layer(emb, ctx, st["pre_conv2"], real_n)
+        return jnp.repeat(h, c.token_mel_ratio, axis=1), st
+
 
 class CausalFlow:
     """CosyVoice2/3-style causal flow model (functional orchestrator)."""
@@ -262,22 +276,32 @@ class CausalFlow:
         arena_mel = arena_tok * c.token_mel_ratio
         kv_dtype = c.dtype or jnp.float32
         C = c.input_size
-        enc = {
-            "pre_conv2": jnp.zeros((B, 2, C)),
-            "up_conv": jnp.zeros((B, c.token_mel_ratio * 2, C)),
-        }
-        for i in range(c.num_blocks):
-            enc[f"enc_{i}"] = (jnp.zeros((B, arena_tok, C), kv_dtype), jnp.zeros((B, arena_tok, C), kv_dtype))
-        for i in range(c.num_up_blocks):
-            enc[f"up_enc_{i}"] = (jnp.zeros((B, arena_mel, C), kv_dtype), jnp.zeros((B, arena_mel, C), kv_dtype))
-        est1 = estimator_stream_state(c.estimator, 2 * B, arena_mel)
+        if c.estimator_type == "dit":
+            from cosyvoice_tpu.models.dit import dit_stream_state
+
+            enc = {"pre_conv2": jnp.zeros((B, 2, c.dit_lookahead_channels))}
+            est1 = dit_stream_state(self.estimator.cfg, 2 * B, arena_mel)
+        else:
+            enc = {
+                "pre_conv2": jnp.zeros((B, 2, C)),
+                "up_conv": jnp.zeros((B, c.token_mel_ratio * 2, C)),
+            }
+            for i in range(c.num_blocks):
+                enc[f"enc_{i}"] = (jnp.zeros((B, arena_tok, C), kv_dtype), jnp.zeros((B, arena_tok, C), kv_dtype))
+            for i in range(c.num_up_blocks):
+                enc[f"up_enc_{i}"] = (jnp.zeros((B, arena_mel, C), kv_dtype), jnp.zeros((B, arena_mel, C), kv_dtype))
+            est1 = estimator_stream_state(c.estimator, 2 * B, arena_mel)
         est = jax.tree.map(lambda a: jnp.zeros((c.cfm.n_timesteps,) + a.shape, a.dtype), est1)
         return {"enc": enc, "est": est}
 
     def grow_stream_state(self, state, new_arena_tok: int):
         """Pad every KV arena to a larger bucket (zeros beyond the frontier
         are masked by the chunk attention mask, so growth is value-neutral)."""
-        old = state["enc"]["enc_0"][0].shape[1]  # static under jit
+        key0 = "enc_0" if "enc_0" in state["enc"] else None
+        if key0 is None:  # dit layout: arenas live only in the estimator
+            old = state["est"]["blocks_0"][0].shape[2] // self.cfg.token_mel_ratio
+        else:
+            old = state["enc"][key0][0].shape[1]  # static under jit
         if new_arena_tok <= old:
             return state
         r = self.cfg.token_mel_ratio
@@ -299,7 +323,7 @@ class CausalFlow:
                 enc[k] = v
         est = {}
         for k, v in state["est"].items():
-            if "_tf_" in k:  # KV arena pairs [steps, 2B, A_mel, inner]
+            if "_tf_" in k or k.startswith("blocks_"):  # KV arenas [steps, 2B, A_mel, inner]
                 est[k] = tuple(pad_axis(a, 2, pad_mel) for a in v)
             else:
                 est[k] = v

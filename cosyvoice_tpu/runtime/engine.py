@@ -203,7 +203,7 @@ class CosyVoice2Engine:
         # of the reference's O(T^2) full-prefix recompute (SURVEY §5.7). Each
         # chunk is ONE device program: flow chunk -> emit slice -> HiFT ->
         # cross-fade, with the flow state resident on device between chunks.
-        self.incremental_flow = incremental_flow and getattr(flow.cfg, "estimator_type", "unet") == "unet"
+        self.incremental_flow = incremental_flow and getattr(flow.cfg, "estimator_type", "unet") in ("unet", "dit")
         self.flow_arena0 = flow_arena0
         self._jit_t2w_stream_incr = jax.jit(
             self._t2w_stream_incr_impl, static_argnames=("chunk_mel", "first")
@@ -624,6 +624,36 @@ class CosyVoice2Engine:
         if state.hift_speech_cache is not None:
             wav = self._fade(wav, np.asarray(state.hift_speech_cache))
         return wav
+
+    def _flow_mel_incr(self, state, body_tokens, ctx, prompt_feat, embedding):
+        """Incremental flow on the un-consumed tail of `body_tokens`
+        (prompt + generated body, NO lookahead); ctx = [1, la] lookahead
+        tokens or None (finalize). Returns the new mel rows
+        [1, n_real*r, 80] (host) and advances state.flow_pos."""
+        t_start = time.perf_counter()
+        r = self.token_mel_ratio
+        consumed = state.flow_pos
+        n_real = len(body_tokens) - consumed
+        if n_real <= 0:
+            return np.zeros((1, 0, 80), np.float32)
+        n_pad = _bucket(n_real, 16)
+        chunk = np.zeros((1, n_pad), np.int32)
+        chunk[0, :n_real] = body_tokens[consumed:]
+        pm = prompt_feat.shape[1]
+        conds = np.zeros((1, n_pad * r, 80), np.float32)
+        lo = consumed * r
+        if lo < pm:
+            k = min(pm - lo, n_pad * r)
+            conds[0, :k] = prompt_feat[0, lo : lo + k]
+        self._ensure_flow_capacity(state, consumed + n_pad)
+        mel, state.flow_state = self._jit_flow_chunk_incr(
+            self.flow_params, jnp.asarray(chunk), ctx, jnp.asarray(conds),
+            jnp.asarray(embedding), state.flow_state, jnp.asarray(consumed), jnp.asarray(n_real),
+        )
+        state.flow_pos = consumed + n_real
+        out = np.asarray(mel)[:, : n_real * r]
+        self.timer.add("flow", time.perf_counter() - t_start)
+        return out
 
     def _stream_chunk_fused(self, state, tokens, prompt_token, prompt_feat, embedding, token_offset, this_hop):
         """Device-resident streaming chunk (non-final). Returns host wav."""
@@ -1083,6 +1113,9 @@ class CosyVoice3Engine(CosyVoice2Engine):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
+        # the fused speculative first chunk assumes the v2 vocoder-cache
+        # scheme; v3's cumulative causal re-vocode keeps the standard path
+        self.speculative_first_chunk = False
         self._jit_hift_causal = jax.jit(
             lambda p, mel, rng, finalize: self.hift.apply(p, mel, rng, finalize=finalize, method="inference"),
             static_argnames=("finalize",),
@@ -1101,8 +1134,28 @@ class CosyVoice3Engine(CosyVoice2Engine):
         speed: float = 1.0,
     ) -> np.ndarray:
         all_tokens = np.concatenate([prompt_token, tokens])
-        mel = self._flow_chunk(all_tokens, prompt_feat, embedding, streaming=stream, finalize=finalize)
-        mel = mel[:, prompt_feat.shape[1] + token_offset * self.token_mel_ratio :]
+        r = self.token_mel_ratio
+        # incremental flow (v3: DiT estimator KV arenas carried per chunk);
+        # the CUMULATIVE causal re-vocode below is kept as-is — it is the
+        # reference's streaming-consistency mechanism and the vocoder is a
+        # small constant next to the 22-block DiT x 10 Euler steps
+        incr = (
+            self.incremental_flow and stream
+            and prompt_feat.shape[1] == len(prompt_token) * r
+        )
+        if incr:
+            la = self.pre_lookahead_len
+            if finalize:
+                body, ctx = all_tokens, None
+            else:
+                body, ctx = all_tokens[:-la], jnp.asarray(all_tokens[None, -la:].astype(np.int32))
+            prev = state.flow_pos
+            mel_new = self._flow_mel_incr(state, body.astype(np.int32), ctx, prompt_feat, embedding)
+            start = max(prompt_feat.shape[1] + token_offset * r - prev * r, 0)
+            mel = mel_new[:, start:]
+        else:
+            mel = self._flow_chunk(all_tokens, prompt_feat, embedding, streaming=stream, finalize=finalize)
+            mel = mel[:, prompt_feat.shape[1] + token_offset * self.token_mel_ratio :]
 
         if state.mel_cumulative is not None:
             mel = np.concatenate([state.mel_cumulative, mel], axis=1)

@@ -107,3 +107,27 @@ class TestEngineV3:
         out = np.concatenate(list(engine3._squelch(gen)))
         # token 1 is a silent token: only max_silent=5 of 10 survive
         assert (out == 1).sum() == 5 and out[-1] == 5
+
+
+class TestV3IncrementalFlow:
+    def test_incremental_matches_recompute(self, engine3):
+        """v3 streaming with the incremental DiT flow (carried KV arenas)
+        must produce the same chunks as the full-prefix recompute."""
+        rng = np.random.default_rng(5)
+        inputs = v3_inputs(rng)
+        assert engine3.incremental_flow
+        incr = [o["tts_speech"] for o in engine3.tts(**inputs, stream=True, rng_seed=13)]
+
+        rec = CosyVoice3Engine(
+            engine3.lm, engine3.flow, engine3.hift,
+            engine3.lm_params, engine3.flow_params, engine3.hift_params,
+            token_hop_len=CHUNK, token_bucket=16, mel_bucket=8,
+            incremental_flow=False,
+        )
+        ref = [o["tts_speech"] for o in rec.tts(**inputs, stream=True, rng_seed=13)]
+        assert len(incr) == len(ref)
+        for i, (a, b) in enumerate(zip(incr, ref)):
+            assert a.shape == b.shape, f"chunk {i}: {a.shape} vs {b.shape}"
+            scale = max(np.abs(np.asarray(b)).max(), 1e-6)
+            diff = np.abs(np.asarray(a) - np.asarray(b)).max() / scale
+            assert diff < 2e-3, f"chunk {i}: rel diff {diff}"
