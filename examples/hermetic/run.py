@@ -47,6 +47,38 @@ def stage(name: str):
     _STAGE["name"] = name
     print(f"# stage {name} t={time.time() - _T0:.0f}s", flush=True)
 
+V3_OVERRIDES = {
+    # CosyVoice3-shaped stack at hermetic scale: FSQ-style token layout with
+    # the special rows inside the speech table, DiT estimator flow
+    # (PreLookahead + repeat_interleave front-end), fully causal HiFT
+    # (reference cli/cosyvoice.py:189-226, flow/flow.py:284-414,
+    # hifigan/generator.py:572-726)
+    "version": 3,
+    "llm": {
+        "num_special_head": 200,
+        "special_in_speech_table": True,
+    },
+    "flow": {
+        "input_size": 80,
+        "encoder_type": "dit_prelookahead",
+        "estimator_type": "dit",
+        "dit_lookahead_channels": 64,
+        "dit": {
+            "dim": 64, "depth": 2, "heads": 2, "dim_head": 16, "ff_mult": 2,
+            "static_chunk_size": 10,
+        },
+    },
+    "hift": {"causal": True},
+}
+
+
+def _merge(base, over):
+    out = dict(base)
+    for k, v in over.items():
+        out[k] = _merge(base[k], v) if isinstance(v, dict) and isinstance(base.get(k), dict) else v
+    return out
+
+
 CONFIG = {
     "version": 2,
     "llm": {
@@ -141,7 +173,15 @@ def main():
     ap.add_argument("--tok_steps", type=int, default=500, help="S3 supervision steps")
     ap.add_argument("--max_eval_utts", type=int, default=16)
     ap.add_argument("--check", action="store_true", help="assert quality thresholds")
+    # round-5 ratchet (VERDICT r4 weak #4): the r4 bar (0.6/0.3/0.5) proved
+    # the pipeline trains, not that it trains well
+    ap.add_argument("--cer_max", type=float, default=0.25)
+    ap.add_argument("--token_recovery_min", type=float, default=0.6)
+    ap.add_argument("--mel_corr_min", type=float, default=0.9)
+    ap.add_argument("--speaker_similarity_min", type=float, default=0.5)
     ap.add_argument("--out_json", default="", help="also write the metrics JSON here")
+    ap.add_argument("--version", type=int, default=2, choices=[2, 3],
+                    help="model generation to exercise (3 = DiT flow + causal HiFT)")
     args = ap.parse_args()
 
     threading.Thread(target=_heartbeat, daemon=True).start()
@@ -153,10 +193,12 @@ def main():
         except Exception:  # noqa: BLE001
             return "unknown"
 
-    THRESHOLDS = {"cer_max": 0.6, "token_recovery_min": 0.3, "mel_corr_min": 0.5,
-                  "speaker_similarity_min": 0.5}
+    THRESHOLDS = {"cer_max": args.cer_max, "token_recovery_min": args.token_recovery_min,
+                  "mel_corr_min": args.mel_corr_min,
+                  "speaker_similarity_min": args.speaker_similarity_min}
     meta_out = {
         "git_rev": git_rev(),
+        "version": args.version,
         "n_utts": args.n_utts,
         "epochs": {"llm": args.lm_epochs, "flow": args.flow_epochs, "gan": args.gan_epochs},
         "lr": args.lr, "tok_steps": args.tok_steps,
@@ -183,8 +225,11 @@ def main():
             json.dump(out, f, indent=1)
 
     sys.path.insert(0, REPO)
-    # the corpus/tokenizer stages run in THIS process: honor JAX_PLATFORMS=cpu
-    # (the axon plugin force-overrides the env var at interpreter start)
+    # the corpus/tokenizer stages run in THIS process and the pipeline is
+    # CPU-hermetic BY DEFINITION: force the platform (the session env pins
+    # JAX_PLATFORMS=axon — a remote TPU whose tunnel may not even be up —
+    # and the axon plugin force-overrides the env var at interpreter start)
+    os.environ["JAX_PLATFORMS"] = os.environ.get("COSY_TEST_PLATFORM", "cpu")
     from cosyvoice_tpu.utils.devices import honor_env_platforms
 
     honor_env_platforms()
@@ -194,8 +239,9 @@ def main():
     model_dir = os.path.join(work, "model")
     data_dir = os.path.join(work, "data")
     os.makedirs(model_dir, exist_ok=True)
+    cfg = CONFIG if args.version == 2 else _merge(CONFIG, V3_OVERRIDES)
     with open(os.path.join(model_dir, "config.json"), "w") as f:
-        json.dump(CONFIG, f, indent=1)
+        json.dump(cfg, f, indent=1)
 
     try:
         _pipeline(args, work, model_dir, data_dir, make_corpus, prep_features, write_out)
@@ -296,11 +342,14 @@ def _pipeline(args, work, model_dir, data_dir, make_corpus, prep_features, write
     print(json.dumps(metrics))
     write_out(metrics)
     if args.check:
+        th = {"cer_max": args.cer_max, "token_recovery_min": args.token_recovery_min,
+              "mel_corr_min": args.mel_corr_min,
+              "speaker_similarity_min": args.speaker_similarity_min}
         assert metrics["n"] >= 1
-        assert metrics["cer"] <= 0.6, metrics
-        assert metrics["token_recovery"] >= 0.3, metrics
-        assert metrics["mel_corr"] >= 0.5, metrics
-        assert metrics["speaker_similarity"] >= 0.5, metrics
+        assert metrics["cer"] <= th["cer_max"], metrics
+        assert metrics["token_recovery"] >= th["token_recovery_min"], metrics
+        assert metrics["mel_corr"] >= th["mel_corr_min"], metrics
+        assert metrics["speaker_similarity"] >= th["speaker_similarity_min"], metrics
         print("quality thresholds PASSED")
 
 
