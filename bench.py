@@ -659,7 +659,11 @@ def main():
                     pass
             finally:
                 engine.lm_params = saved_params
-            print(f"# first_chunk_wall {RESULT['first_chunk_ms_wall']}ms", flush=True)
+            RESULT["first_chunk_path"] = (
+                "speculative_fused" if engine.timer.records.get("first_chunk_fused") else "standard"
+            )
+            print(f"# first_chunk_wall {RESULT['first_chunk_ms_wall']}ms "
+                  f"({RESULT['first_chunk_path']})", flush=True)
         except Exception as e:  # noqa: BLE001 — optional section
             print(f"# streaming wall section failed: {type(e).__name__}: {e}", flush=True)
 
