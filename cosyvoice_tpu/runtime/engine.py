@@ -130,6 +130,12 @@ class _Prefetcher:
 
 
 class CosyVoice2Engine:
+    # class-level defaults: objects that borrow tts() without running
+    # __init__ (RemoteEngine, test doubles) get the conservative paths
+    speculative_first_chunk = False
+    incremental_flow = False
+    flow_arena0 = 256
+
     def __init__(
         self,
         lm: Qwen2LM,

@@ -182,6 +182,11 @@ class RemoteEngine:
     next_hop = _E.next_hop
     silent_tokens: tuple = ()
     max_silent: int = 5
+    # the borrowed tts() probes these; the gateway has no local LM/flow so
+    # both fast paths stay off
+    speculative_first_chunk = False
+    incremental_flow = False
+    flow_arena0 = 256
 
     def __init__(
         self,
