@@ -214,7 +214,7 @@ class TransformerLMModule(nn.Module):
         emb = self.embed_speech(token)[:, None, :]
         x = self.lm_embed(emb)
         x = jax.nn.relu(x) * self.lm_pos.xscale
-        pe_full = self.lm_pos.pe[0]  # [2*max-1, D]
+        pe_full = self.lm_pos.position_encoding(0, self.lm_pos.max_len)[0]  # [2*max-1, D]
         new_k, new_v = [], []
         for i, layer in enumerate(self.lm_layers):
             x, ka, va = layer.step(x, cur, k_arena[i], v_arena[i], pe_full)

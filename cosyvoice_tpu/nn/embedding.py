@@ -28,30 +28,37 @@ def _espnet_pe_table(max_len: int, d_model: int) -> np.ndarray:
 
 
 class EspnetRelPositionalEncoding:
-    """Stateless helper (not a Module — the table has no trainable params)."""
+    """Stateless helper (not a Module — the table has no trainable params).
+
+    The table lives HOST-side and grows on demand (the espnet reference's
+    extend_pe): `position_encoding` slices it with trace-time-static
+    offset/size, so under jit each distinct length folds into one program
+    constant of exactly 2*(size+offset)-1 rows — no multi-MB full-range
+    table is ever uploaded."""
 
     def __init__(self, d_model: int, max_len: int = 5000):
         self.d_model = d_model
         self.max_len = max_len
         self.xscale = math.sqrt(d_model)
-        self.pe = jnp.asarray(_espnet_pe_table(max_len, d_model))
+        self._pe_np = _espnet_pe_table(max_len, d_model)
 
     def __call__(self, x: jax.Array, offset: int = 0) -> Tuple[jax.Array, jax.Array]:
         """x: [B, T, D] -> (x * sqrt(d), pos_emb [1, 2T-1, D])."""
         return x * self.xscale, self.position_encoding(offset, x.shape[1])
 
     def position_encoding(self, offset: int, size: int) -> jax.Array:
-        center = self.pe.shape[1] // 2
-        # size/offset are static at trace time: fail loudly instead of letting
-        # dynamic_slice clamp a negative start and silently mis-center the
-        # relative positions (the espnet reference grows its table on demand)
-        if isinstance(size, int) and isinstance(offset, int) and size + offset > center + 1:
-            raise ValueError(
-                f"relative-PE table too small: need size+offset={size + offset} <= {center + 1}; "
-                "raise the encoding's max_len"
-            )
+        assert isinstance(size, int) and isinstance(offset, int), (
+            "relative-PE slicing requires trace-time-static offset/size"
+        )
+        if size + offset > self._pe_np.shape[1] // 2 + 1:
+            grow = self.max_len
+            while size + offset > grow:
+                grow *= 2
+            self.max_len = grow
+            self._pe_np = _espnet_pe_table(grow, self.d_model)
+        center = self._pe_np.shape[1] // 2
         start = center - size - offset + 1
-        return jax.lax.dynamic_slice_in_dim(self.pe, start, 2 * (size + offset) - 1, axis=1)
+        return jnp.asarray(self._pe_np[:, start : start + 2 * (size + offset) - 1])
 
 
 class SinusoidalPosEmb:

@@ -135,6 +135,11 @@ class CosyVoice2Engine:
     speculative_first_chunk = False
     incremental_flow = False
     flow_arena0 = 256
+    # beyond this many (prompt+body) tokens the incremental path hands the
+    # session back to full-prefix recompute: arenas stop growing (~82 s of
+    # audio; the espnet rel-PE table and the fixed noise buffer bound the
+    # usable range, and sentence splitting keeps real segments far below)
+    flow_arena_max = 2048
 
     def __init__(
         self,
@@ -439,6 +444,8 @@ class CosyVoice2Engine:
         need = this_hop + la
         n1 = -(-need // block)
         if max_len < need or c.repetition_penalty != 1.0:
+            return None
+        if Lp + this_hop + 16 > self.flow_arena_max:
             return None
 
         # LM prompt padding + capacity guard (mirrors lm.generate)
@@ -791,7 +798,11 @@ class CosyVoice2Engine:
         # incremental flow assumes body mel starts exactly at the prompt mel's
         # end (the 24 kHz frontend forces feat == 2*tokens); odd prompts (vc
         # edge cases) fall back to the recompute path
-        incr = self.incremental_flow and prompt_feat.shape[1] == len(prompt_token) * self.token_mel_ratio
+        incr = (
+            self.incremental_flow
+            and prompt_feat.shape[1] == len(prompt_token) * self.token_mel_ratio
+            and len(prompt_token) + len(tokens) + 16 <= self.flow_arena_max
+        )
         if stream and not finalize and self.fused_stream:
             this_hop = len(tokens) - token_offset - self.pre_lookahead_len
             if this_hop <= 0 and state.hift_mel_cache is None:
@@ -1148,6 +1159,7 @@ class CosyVoice3Engine(CosyVoice2Engine):
         incr = (
             self.incremental_flow and stream
             and prompt_feat.shape[1] == len(prompt_token) * r
+            and len(all_tokens) + 16 <= self.flow_arena_max
         )
         if incr:
             la = self.pre_lookahead_len

@@ -232,3 +232,58 @@ class TestDeterminism:
         a, b = run(), run()
         assert a.shape == b.shape
         np.testing.assert_array_equal(a, b)
+
+
+class TestBistreamTextInput:
+    def test_generator_text_matches_engine_bistream(self, api):
+        """Generator tts_text at the public API (reference cli/cosyvoice.py:91
+        accepts a Generator) must route to the LM's bistream decode and
+        produce the same audio as driving engine.generate_bistream directly
+        (the disaggregated gateway's path)."""
+        rng = np.random.default_rng(3)
+        prompt_wav = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+
+        def pieces():
+            yield "Hello there "
+            yield "my friend, how "
+            yield "are you today?"
+
+        api.engine.token_hop_len = 5
+        outs = list(api.inference_zero_shot(pieces(), "A prompt.", prompt_wav, stream=False))
+        wav_api = np.concatenate([o["tts_speech"] for o in outs], axis=1)
+        assert wav_api.shape[1] > 0
+
+        # same text through the engine-level bistream path
+        fe = api.frontend
+        mi = fe.frontend_zero_shot("Hello there my friend, how are you today?", "A prompt.", prompt_wav)
+        text_chunks = [fe._extract_text_token(p) for p in ["Hello there ", "my friend, how ", "are you today?"]]
+        import jax
+
+        gen = api.engine._squelch(api.engine.lm.generate_bistream(
+            api.engine.lm_params, iter(text_chunks),
+            mi["prompt_text_tokens"].astype(np.int32),
+            mi["llm_prompt_speech_token"].astype(np.int32),
+            jax.random.PRNGKey(api.engine.seed),
+        ))
+        toks = []
+        for b in gen:
+            toks.extend(b.tolist())
+        wav_direct = api.engine.synthesize_offline(
+            np.asarray(toks, np.int32),
+            mi["flow_prompt_speech_token"].astype(np.int32),
+            mi["prompt_speech_feat"], mi["flow_embedding"],
+        )
+        assert wav_api.shape == wav_direct.shape
+        np.testing.assert_allclose(wav_api, np.asarray(wav_direct), rtol=1e-4, atol=1e-4)
+
+    def test_generator_text_streaming(self, api):
+        rng = np.random.default_rng(4)
+        prompt_wav = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)
+
+        def pieces():
+            yield "Stream me "
+            yield "in pieces now."
+
+        outs = list(api.inference_zero_shot(pieces(), "A prompt.", prompt_wav, stream=True))
+        assert len(outs) >= 1
+        assert sum(o["tts_speech"].shape[1] for o in outs) > 0
