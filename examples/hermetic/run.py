@@ -182,6 +182,8 @@ def main():
     ap.add_argument("--out_json", default="", help="also write the metrics JSON here")
     ap.add_argument("--version", type=int, default=2, choices=[2, 3],
                     help="model generation to exercise (3 = DiT flow + causal HiFT)")
+    ap.add_argument("--gan_pretrain_steps", type=int, default=0,
+                    help=">0 overrides the config's generator-warmup step count (smoke runs)")
     args = ap.parse_args()
 
     threading.Thread(target=_heartbeat, daemon=True).start()
@@ -240,6 +242,8 @@ def main():
     data_dir = os.path.join(work, "data")
     os.makedirs(model_dir, exist_ok=True)
     cfg = CONFIG if args.version == 2 else _merge(CONFIG, V3_OVERRIDES)
+    if args.gan_pretrain_steps > 0:
+        cfg = _merge(cfg, {"gan": {"pretrain_steps": args.gan_pretrain_steps}})
     with open(os.path.join(model_dir, "config.json"), "w") as f:
         json.dump(cfg, f, indent=1)
 
