@@ -384,41 +384,82 @@ def main():
             # 500 warmup steps let the stack organize at a low lr first
             # (measured: seed 1986 stuck at mel 4.6 with constant 1e-3,
             # reaches mel 0.95 in 2000 steps with this schedule)
-            p_sched = optax.warmup_cosine_decay_schedule(
-                0.0, pretrain_lr, min(500, max(1, pretrain_steps // 4)),
-                pretrain_steps, pretrain_lr / 5.0,
-            )
-            p_opt = optax.chain(optax.clip_by_global_norm(args.grad_clip), optax.adam(p_sched))
-            p_state = p_opt.init(gen_params)
-            p_step = make_generator_pretrain_step(hift, p_opt, loss_cfg)
-            done, ep, pm = 0, 0, None
             import jax as _jax
 
-            while done < pretrain_steps:
-                dataset.set_epoch(10_000 + ep)  # disjoint from the GAN phase's epochs
-                ep += 1
-                epoch_had_batches = False
-                for b in iter(dataset):
-                    epoch_had_batches = True
-                    batch = {
-                        "speech": _jax.numpy.asarray(b["speech"]),
-                        "speech_feat": _jax.numpy.asarray(b["speech_feat"]),
-                        "pitch_feat": _jax.numpy.asarray(b["pitch_feat"]),
-                    }
-                    gen_params, p_state, pm = p_step(
-                        gen_params, p_state, batch, _jax.random.fold_in(key, 77_000 + done)
-                    )
-                    done += 1
-                    if done % args.log_interval == 0:
-                        logging.info("gan pretrain step %d loss=%.4f mel=%.4f", done,
-                                     float(pm["loss"]), float(pm["mel"]))
-                    if done >= pretrain_steps:
+            # The pretrain basin is BISTABLE at the working lr: some
+            # (seed, bit-trajectory) combinations explode conv_post early and
+            # park on a flat loud-noise plateau (mel-L1 ~4.6 indefinitely —
+            # observed flipping on 1-ulp forward changes, see
+            # models/hift.py:_ste_clip). Detect the plateau at a probe step
+            # and RESTART from a fresh init fold at half the lr instead of
+            # burning the whole budget in the bad basin.
+            probe_at = max(200, min(1200, pretrain_steps // 4))
+            plateau_mel = 3.0
+            max_attempts = 3
+            init_backup = gen_params
+            for attempt in range(max_attempts):
+                lr_a = pretrain_lr * (0.5 ** attempt)
+                p_sched = optax.warmup_cosine_decay_schedule(
+                    0.0, lr_a, min(500, max(1, pretrain_steps // 4)),
+                    pretrain_steps, lr_a / 5.0,
+                )
+                p_opt = optax.chain(optax.clip_by_global_norm(args.grad_clip), optax.adam(p_sched))
+                if attempt > 0:
+                    with init_on_cpu():
+                        gen_params = hift.init(
+                            _jax.random.fold_in(key, 555_000 + attempt), jnp.zeros((1, 8, 80)), key
+                        )
+                    gen_params = to_default_device(gen_params)
+                p_state = p_opt.init(gen_params)
+                p_step = make_generator_pretrain_step(hift, p_opt, loss_cfg)
+                done, ep, pm = 0, 0, None
+                mel_recent: list = []
+                diverged = False
+
+                while done < pretrain_steps and not diverged:
+                    dataset.set_epoch(10_000 + ep)  # disjoint from the GAN phase's epochs
+                    ep += 1
+                    epoch_had_batches = False
+                    for b in iter(dataset):
+                        epoch_had_batches = True
+                        batch = {
+                            "speech": _jax.numpy.asarray(b["speech"]),
+                            "speech_feat": _jax.numpy.asarray(b["speech_feat"]),
+                            "pitch_feat": _jax.numpy.asarray(b["pitch_feat"]),
+                        }
+                        gen_params, p_state, pm = p_step(
+                            gen_params, p_state, batch, _jax.random.fold_in(key, 77_000 + done)
+                        )
+                        done += 1
+                        if done % args.log_interval == 0:
+                            logging.info("gan pretrain step %d loss=%.4f mel=%.4f", done,
+                                         float(pm["loss"]), float(pm["mel"]))
+                        if done % 50 == 0:
+                            mel_recent.append(float(pm["mel"]))
+                            mel_recent = mel_recent[-5:]
+                        if (
+                            done >= probe_at
+                            and attempt < max_attempts - 1
+                            and len(mel_recent) >= 3
+                            and min(mel_recent) > plateau_mel
+                        ):
+                            logging.warning(
+                                "gan pretrain attempt %d in the plateau basin at step %d "
+                                "(recent mel %.2f); restarting from a fresh init at lr %.2e",
+                                attempt, done, float(np.mean(mel_recent)), lr_a * 0.5,
+                            )
+                            diverged = True
+                            break
+                        if done >= pretrain_steps:
+                            break
+                    if not epoch_had_batches:
+                        # empty shard for this rank: spinning forever here would
+                        # hang the job silently
+                        logging.warning("gan pretrain: dataset yielded no batches; stopping at %d steps", done)
                         break
-                if not epoch_had_batches:
-                    # empty shard for this rank: spinning forever here would
-                    # hang the job silently
-                    logging.warning("gan pretrain: dataset yielded no batches; stopping at %d steps", done)
+                if not diverged:
                     break
+            del init_backup
             if pm is not None:
                 logging.info("generator pretrain done: %d steps, final mel=%.4f", done, float(pm["mel"]))
         # model_name matches the recipes' --model_name hifigan in averaging

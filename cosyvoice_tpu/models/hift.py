@@ -36,22 +36,19 @@ from cosyvoice_tpu.ops.resample import interpolate_linear, repeat_interleave_tim
 from cosyvoice_tpu.ops.stft import hann_window, istft, stft
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.custom_jvp, nondiff_argnums=(1, 2))
 def _ste_clip(x, lo, hi):
-    """Straight-through clip: forward = jnp.clip(x, lo, hi) BIT-EXACTLY
-    (custom_jvp, not the x + stop_grad(clip-x) trick, which drifts by one
-    ulp), backward = identity. Keeps the reference's clamp semantics at
-    inference while letting training gradients flow across the boundary."""
-    return jnp.clip(x, lo, hi)
+    """Straight-through clip: forward = jnp.clip(x, lo, hi) up to 1 ulp
+    (the x + stop_grad(clip-x) form), backward = identity.
 
-
-@_ste_clip.defjvp
-def _ste_clip_jvp(lo, hi, primals, tangents):
-    (x,), (dx,) = primals, tangents
-    return jnp.clip(x, lo, hi), dx
+    A bit-exact custom_jvp variant (same gradients to float noise) was tried
+    in r4 and REVERTED: the GAN generator pretrain is bistable at its working
+    lr, and the 1-ulp forward difference deterministically flipped the
+    default seed into the loud-noise plateau basin (hermetic run r5:
+    mel-L1 parked at ~4.6 for 5000 steps vs 0.9 with this form; gradient
+    diffs at init measured ~1e-7 relative — trajectory divergence, not a
+    wrong derivative). The 1-ulp overshoot past the clamp bound is covered
+    by the range test's tolerance instead."""
+    return x + jax.lax.stop_gradient(jnp.clip(x, lo, hi) - x)
 
 
 @dataclass(frozen=True)

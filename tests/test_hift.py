@@ -30,7 +30,9 @@ class TestHiFT:
         assert wav.shape == (1, 24 * 480)
         assert f0.shape == (1, 24)
         assert np.isfinite(np.asarray(wav)).all()
-        assert np.abs(np.asarray(wav)).max() <= 0.99
+        # small tolerance: the straight-through limiter's forward is
+        # x + sg(clip(x)-x), which overshoots the bound by ~ulp(|x_preclip|)
+        assert np.abs(np.asarray(wav)).max() <= 0.99 + 1e-5
 
     def test_inference_source_cache_splice(self):
         m = HiFTGenerator(tiny_cfg())
