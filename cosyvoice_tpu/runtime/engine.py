@@ -135,6 +135,18 @@ class CosyVoice2Engine:
     speculative_first_chunk = False
     incremental_flow = False
     flow_arena0 = 256
+    # hybrid streaming-flow crossover (SURVEY §5.7): below this many
+    # (prompt + body) tokens a full-prefix recompute chunk costs LESS on the
+    # TPU than an incremental chunk over the KV arenas — one recompute pass
+    # at short prefixes is a single well-shaped program (~offline t2w cost),
+    # while an arena chunk pays ~20 blocks x 10 Euler steps of small
+    # latency-bound attention reads over the whole arena (measured on v5e:
+    # recompute ~0.1 ms/mel-row of prefix vs arena chunk ~13 ms + 0.06
+    # ms/mel-row of arena). Sessions switch to the incremental path with one
+    # catch-up chunk (cost = one recompute pass) when the prefix crosses the
+    # threshold; beyond it each chunk is O(chunk * prefix) instead of the
+    # reference's O(prefix^2) growth (cli/model.py:294-303).
+    flow_incr_min_tok = 320
     # beyond this many (prompt+body) tokens the incremental path hands the
     # session back to full-prefix recompute: arenas stop growing (~82 s of
     # audio; the espnet rel-PE table and the fixed noise buffer bound the
@@ -157,6 +169,7 @@ class CosyVoice2Engine:
         hop_policy: str = "doubling",
         incremental_flow: bool = True,
         flow_arena0: int = 256,
+        flow_incr_min_tok: int = 320,
     ):
         self.lm = lm
         self.flow = flow
@@ -210,12 +223,16 @@ class CosyVoice2Engine:
         self._jit_t2w_stream = jax.jit(
             self._t2w_stream_impl, static_argnames=("chunk_mel", "first")
         )
+        self._jit_t2w_final = jax.jit(
+            self._t2w_final_impl, static_argnames=("chunk_mel", "first")
+        )
         # incremental streaming flow: carried KV arenas + conv caches instead
         # of the reference's O(T^2) full-prefix recompute (SURVEY §5.7). Each
         # chunk is ONE device program: flow chunk -> emit slice -> HiFT ->
         # cross-fade, with the flow state resident on device between chunks.
         self.incremental_flow = incremental_flow and getattr(flow.cfg, "estimator_type", "unet") in ("unet", "dit")
         self.flow_arena0 = flow_arena0
+        self.flow_incr_min_tok = flow_incr_min_tok
         self._jit_t2w_stream_incr = jax.jit(
             self._t2w_stream_incr_impl, static_argnames=("chunk_mel", "first")
         )
@@ -235,7 +252,7 @@ class CosyVoice2Engine:
         self.speculative_first_chunk = True
         self._jit_first_chunk = jax.jit(
             self._first_chunk_impl,
-            static_argnames=("n1", "this_hop", "arena_lm", "arena_flow", "block_size"),
+            static_argnames=("n1", "this_hop", "arena_lm", "block_size"),
         )
 
 
@@ -300,6 +317,51 @@ class CosyVoice2Engine:
         new_speech_cache = wav[:, -self.source_cache_len :]
         return wav[:, : -self.source_cache_len], new_mel_cache, new_source_cache, new_speech_cache
 
+    def _t2w_final_impl(
+        self,
+        flow_params,
+        hift_params,
+        tok,            # [1, Lpad] full prompt+body tokens (finalize: no lookahead)
+        token_len,      # [1] true token count
+        conds,
+        emb,
+        rng,
+        mel_cache,
+        source_cache,
+        speech_cache,
+        emit_start,     # [] traced: first emitted mel row (prompt_mel + offset*r)
+        real_mel,       # [] traced: true remaining mel rows
+        chunk_mel: int,  # bucketed emit width (rows beyond real_mel -> silence)
+        first: bool,
+    ):
+        """Fused streaming FINALIZE chunk (recompute path): flow over the full
+        prefix -> slice the remaining mel -> splice HiFT caches -> vocode ->
+        cross-fade, in ONE device program (the host path was flow + vocode +
+        fade = 2 programs + 2 fetches). Rows beyond real_mel are masked to
+        log-silence exactly like the host _vocode bucket pad, so the valid
+        samples match the unfused path. Returns the FULL tail wav (finalize
+        holds nothing back); the host slices to the true length."""
+        mel_full = self.flow.inference(
+            flow_params, tok, token_len, conds, emb, context_token=None, streaming=True
+        )
+        pad = jnp.full((1, chunk_mel, 80), LOG_SILENCE, mel_full.dtype)
+        mel_ext = jnp.concatenate([mel_full, pad], axis=1)
+        mel_new = jax.lax.dynamic_slice(mel_ext, (0, emit_start, 0), (1, chunk_mel, 80))
+        rows = jnp.arange(chunk_mel)[None, :, None]
+        mel_new = jnp.where(rows < real_mel, mel_new, LOG_SILENCE)
+        if first:
+            wav, _ = self.hift.apply(hift_params, mel_new, rng, method="inference")
+        else:
+            mel = jnp.concatenate([mel_cache, mel_new], axis=1)
+            wav, _ = self.hift.apply(
+                hift_params, mel, rng, cache_source=source_cache, method="inference"
+            )
+            n = self.source_cache_len
+            w = jnp.asarray(self.speech_window)
+            head = wav[:, :n] * w[n:] + speech_cache * w[:n]
+            wav = jnp.concatenate([head, wav[:, n:]], axis=1)
+        return wav
+
     def _t2w_stream_incr_impl(
         self,
         flow_params,
@@ -360,17 +422,16 @@ class CosyVoice2Engine:
         n1: int,
         this_hop: int,
         arena_lm: int,
-        arena_flow: int,
         block_size: int,
         stacked=None,
     ):
         """Speculative fused first chunk (one device program): LM prefill ->
-        n1 decode blocks -> flow incremental chunk over the prompt + first
-        this_hop tokens -> HiFT. The host verifies the fetched tokens
-        afterwards (a stop id inside the first this_hop+la tokens means the
-        real stream would not have emitted this chunk) and discards on
-        mismatch. Uses generate()'s exact key schedule, so on success the
-        token stream continues bit-identically via lm.generate_continue."""
+        n1 decode blocks -> streaming flow over the prompt + first this_hop
+        tokens -> HiFT. The host verifies the fetched tokens afterwards (a
+        stop id inside the first this_hop+la tokens means the real stream
+        would not have emitted this chunk) and discards on mismatch. Uses
+        generate()'s exact key schedule, so on success the token stream
+        continues bit-identically via lm.generate_continue."""
         c = self.lm.cfg
         cache = self.lm.init_cache(1, length=arena_lm)
         logits, cache = self.lm.module.apply(
@@ -394,27 +455,28 @@ class CosyVoice2Engine:
         safe = jnp.minimum(gen, self.flow.cfg.vocab_size - 1)  # post-stop eos fills
         tok_chunk = jax.lax.dynamic_update_slice(flow_buf, safe[:, :this_hop], (0, lp))
         ctx = safe[:, this_hop : this_hop + la]
-        flow_state = self.flow.stream_state(1, arena_flow)
-        real_n = lp + this_hop
-        mel_chunk, flow_state = self.flow.inference_chunk(
-            flow_params, tok_chunk, ctx, conds, emb, flow_state, jnp.asarray(0), real_n
+        # first chunk uses the full-prefix recompute flow (one well-shaped
+        # program; see flow_incr_min_tok — at first-chunk prefixes the
+        # recompute beats an arena chunk, and the session stays on the
+        # recompute path until it crosses the threshold)
+        mel_full = self.flow.inference(
+            flow_params, tok_chunk, (lp + this_hop).reshape(1), conds, emb,
+            context_token=ctx, streaming=True,
         )
         emit_start = lp * r
-        mel = jax.lax.dynamic_slice(mel_chunk, (0, emit_start, 0), (1, this_hop * r, 80))
+        mel = jax.lax.dynamic_slice(mel_full, (0, emit_start, 0), (1, this_hop * r, 80))
         wav, src = self.hift.apply(hift_params, mel, flow_rng, method="inference")
         mel_cache = mel[:, -self.mel_cache_len :]
         source_cache = src[:, -self.source_cache_len :]
         speech_cache = wav[:, -self.source_cache_len :]
         lm_state = (cache, cur, logits, recent, ndec, fin)
-        return (
-            gen,
-            wav[:, : -self.source_cache_len],
-            mel_cache,
-            source_cache,
-            speech_cache,
-            flow_state,
-            lm_state,
+        # pack tokens + wav into ONE f32 array: the host verifies the tokens
+        # and emits the wav from a single fetch (one tunnel round trip)
+        packed = jnp.concatenate(
+            [gen.astype(jnp.float32), wav[:, : -self.source_cache_len].astype(jnp.float32)],
+            axis=1,
         )
+        return packed, mel_cache, source_cache, speech_cache, lm_state
 
     def _try_first_chunk_fast(
         self, state, ids, types, min_len, max_len, prompt_token, prompt_feat, embedding, rng
@@ -445,8 +507,6 @@ class CosyVoice2Engine:
         n1 = -(-need // block)
         if max_len < need or c.repetition_penalty != 1.0:
             return None
-        if Lp + this_hop + 16 > self.flow_arena_max:
-            return None
 
         # LM prompt padding + capacity guard (mirrors lm.generate)
         T = len(ids)
@@ -467,10 +527,7 @@ class CosyVoice2Engine:
         _, keys = _split_chain(rng, n_blocks)
         arena_lm = self.lm.arena_bucket(pad_T + n1 * block + 1)
 
-        n_pad = _bucket(Lp + this_hop, 16)
-        arena_flow = self.flow_arena0
-        while arena_flow < n_pad:
-            arena_flow *= 2
+        n_pad = _bucket(Lp + this_hop + la, 16)  # room for the lookahead scatter
         flow_buf = np.zeros((1, n_pad), np.int32)
         flow_buf[0, :Lp] = prompt_token
         pm = prompt_feat.shape[1]
@@ -484,15 +541,18 @@ class CosyVoice2Engine:
         probe = (jax.ShapeDtypeStruct((qc.num_layers, 1, arena_lm, qc.num_kv_heads, qc.head_dim), jnp.bfloat16),) * 2
         pack = self.lm._decode_pack(self.lm_params, probe)
         t0 = time.perf_counter()
-        gen, wav, mc, sc, spc, flow_state, lm_state = self._jit_first_chunk(
+        packed, mc, sc, spc, lm_state = self._jit_first_chunk(
             self.lm_params, self.flow_params, self.hift_params,
             jnp.asarray(ids_d), jnp.asarray(types_d), jnp.asarray([T]),
             min_l, keys[:n1], jnp.asarray(flow_buf), jnp.asarray(Lp),
             jnp.asarray(conds), jnp.asarray(embedding), self._seed_key(),
-            n1=n1, this_hop=this_hop, arena_lm=arena_lm, arena_flow=arena_flow,
+            n1=n1, this_hop=this_hop, arena_lm=arena_lm,
             block_size=block, stacked=pack,
         )
-        gen0 = np.asarray(gen[0])
+        # ONE fetch: [n1*block sampled token ids | first-chunk wav]
+        arr = np.asarray(packed[0])
+        gen0 = arr[: n1 * block].astype(np.int32)
+        wav = arr[None, n1 * block :].astype(np.float32)
         stop_idx = np.nonzero(gen0 >= c.speech_token_size)[0]
         self.timer.add("first_chunk_fused", time.perf_counter() - t0)
 
@@ -506,9 +566,6 @@ class CosyVoice2Engine:
         produced = (gen0[: stop_idx[0]] if len(stop_idx) else gen0).tolist()[: max_len]
         gen_done = bool(len(stop_idx)) or len(produced) >= max_len
         state.hift_mel_cache, state.hift_source_cache, state.hift_speech_cache = mc, sc, spc
-        state.flow_state = flow_state
-        state.flow_pos = Lp + this_hop
-        state.flow_arena = arena_flow
         token_gen = None
         if not gen_done:
             token_gen = self.lm.generate_continue(
@@ -516,7 +573,7 @@ class CosyVoice2Engine:
                 key_start=n1, produced0=len(produced), cur_host0=pad_T + n1 * block,
             )
         return {
-            "wav": np.asarray(wav),
+            "wav": wav,
             "produced": produced,
             "gen_done": gen_done,
             "token_gen": token_gen,
@@ -706,6 +763,49 @@ class CosyVoice2Engine:
         self.timer.add("stream_chunk", time.perf_counter() - t_start)
         return out
 
+    def _finalize_fused(self, state, tokens, prompt_token, prompt_feat, embedding, token_offset):
+        """Host wrapper for the fused recompute finalize chunk."""
+        t_start = time.perf_counter()
+        all_tokens = np.concatenate([prompt_token, tokens]).astype(np.int32)
+        L = len(all_tokens)
+        r = self.token_mel_ratio
+        rem = len(tokens) - token_offset
+        first = state.hift_mel_cache is None
+        Lpad = _bucket_geo(L, self.token_bucket, self.relative_bucket)
+        tok = np.zeros((1, Lpad), np.int32)
+        tok[0, :L] = all_tokens
+        conds = np.zeros((1, Lpad * r, 80), np.float32)
+        conds[:, : prompt_feat.shape[1]] = prompt_feat
+        # pad the vocoded mel to EXACTLY the host _vocode path's bucket: the
+        # v2 HiFT is non-causal, so silence pad rows bleed into the valid
+        # tail within the receptive field — matching the generic path bit-for
+        # -bit requires matching its pad width, not just padding "enough"
+        cache_rows = 0 if first else self.mel_cache_len
+        total_rows = _bucket_geo(cache_rows + rem * r, self.mel_bucket, self.relative_bucket)
+        chunk_mel = total_rows - cache_rows
+        zeros_mel = jnp.zeros((1, self.mel_cache_len, 80), jnp.float32)
+        zeros_src = jnp.zeros((1, self.source_cache_len), jnp.float32)
+        wav = self._jit_t2w_final(
+            self.flow_params,
+            self.hift_params,
+            jnp.asarray(tok),
+            jnp.asarray([L]),
+            jnp.asarray(conds),
+            jnp.asarray(embedding),
+            self._seed_key(),
+            state.hift_mel_cache if not first else zeros_mel,
+            state.hift_source_cache if not first else zeros_src,
+            state.hift_speech_cache if not first else zeros_src,
+            jnp.asarray(prompt_feat.shape[1] + token_offset * r),
+            jnp.asarray(rem * r),
+            chunk_mel=chunk_mel,
+            first=first,
+        )
+        valid = ((0 if first else self.mel_cache_len) + rem * r) * self.wav_hop
+        out = np.asarray(wav)[:, :valid]
+        self.timer.add("stream_chunk", time.perf_counter() - t_start)
+        return out
+
     def synthesize_offline(self, tokens, prompt_token, prompt_feat, embedding, speed: float = 1.0):
         """Single fused device call for the non-streaming path."""
         if speed != 1.0 or len(tokens) == 0:
@@ -797,11 +897,19 @@ class CosyVoice2Engine:
         """Reference cli/model.py:292-326 semantics."""
         # incremental flow assumes body mel starts exactly at the prompt mel's
         # end (the 24 kHz frontend forces feat == 2*tokens); odd prompts (vc
-        # edge cases) fall back to the recompute path
+        # edge cases) fall back to the recompute path. Short prefixes stay on
+        # the recompute path (cheaper per chunk, see flow_incr_min_tok); once
+        # a session crosses the threshold the first incremental call consumes
+        # the whole prefix as one catch-up chunk and the session stays
+        # incremental (flow_state is not None) from then on.
         incr = (
             self.incremental_flow
             and prompt_feat.shape[1] == len(prompt_token) * self.token_mel_ratio
             and len(prompt_token) + len(tokens) + 16 <= self.flow_arena_max
+            and (
+                state.flow_state is not None
+                or len(prompt_token) + len(tokens) >= self.flow_incr_min_tok
+            )
         )
         if stream and not finalize and self.fused_stream:
             this_hop = len(tokens) - token_offset - self.pre_lookahead_len
@@ -816,6 +924,14 @@ class CosyVoice2Engine:
             )
         if stream and finalize and incr and speed == 1.0 and state.flow_state is not None:
             return self._finalize_incr(state, tokens, prompt_token, prompt_feat, embedding, token_offset)
+        if (
+            stream and finalize and speed == 1.0 and self.fused_stream
+            and len(tokens) - token_offset > 0
+            and not getattr(self, "_disable_fused_final", False)
+        ):
+            return self._finalize_fused(
+                state, tokens, prompt_token, prompt_feat, embedding, token_offset
+            )
         all_tokens = np.concatenate([prompt_token, tokens])
         mel = self._flow_chunk(all_tokens, prompt_feat, embedding, streaming=stream, finalize=finalize)
         mel = mel[:, prompt_feat.shape[1] + token_offset * self.token_mel_ratio :]
@@ -1160,6 +1276,10 @@ class CosyVoice3Engine(CosyVoice2Engine):
             self.incremental_flow and stream
             and prompt_feat.shape[1] == len(prompt_token) * r
             and len(all_tokens) + 16 <= self.flow_arena_max
+            and (
+                state.flow_state is not None
+                or len(all_tokens) >= self.flow_incr_min_tok
+            )
         )
         if incr:
             la = self.pre_lookahead_len

@@ -64,7 +64,8 @@ def engine():
     mel0 = jnp.zeros((1, 8, 80))
     hift_params = hift.init(K(2), mel0, K(3))
     eng = CosyVoice2Engine(
-        lm, flow, hift, lm_params, flow_params, hift_params, token_hop_len=CHUNK, token_bucket=16, mel_bucket=8
+        lm, flow, hift, lm_params, flow_params, hift_params, token_hop_len=CHUNK, token_bucket=16, mel_bucket=8,
+        flow_incr_min_tok=0,  # force the incremental path at test scales
     )
     return eng
 
@@ -128,6 +129,33 @@ class TestEngine:
         # with different mel_buckets (8 vs 1) -> tail padding differences
         assert fused[-1].shape == host[-1].shape
         assert np.isfinite(np.asarray(fused[-1])).all()
+
+    def test_fused_finalize_matches_host_path(self, engine):
+        """The single-program finalize chunk (recompute flow + cache splice +
+        vocode + fade fused) must match the host-side _flow_chunk + _vocode +
+        _fade path, INCLUDING the vocoder bucket pad (the non-causal HiFT
+        sees the log-silence pad rows near the tail, so the fused program
+        pads to exactly the host _vocode bucket)."""
+        rng = np.random.default_rng(6)
+        inputs = prompt_inputs(rng)
+        engines = []
+        for disable in (False, True):
+            e = CosyVoice2Engine(
+                engine.lm, engine.flow, engine.hift,
+                engine.lm_params, engine.flow_params, engine.hift_params,
+                token_hop_len=CHUNK, token_bucket=16, mel_bucket=8,
+            )
+            e.speculative_first_chunk = False
+            e._disable_fused_final = disable
+            engines.append(e)
+        a = [o["tts_speech"] for o in engines[0].tts(**inputs, stream=True, rng_seed=11)]
+        b = [o["tts_speech"] for o in engines[1].tts(**inputs, stream=True, rng_seed=11)]
+        assert len(a) == len(b) and len(a) >= 2
+        for i, (x, y) in enumerate(zip(a, b)):
+            assert x.shape == y.shape, f"chunk {i}: {x.shape} vs {y.shape}"
+            scale = max(np.abs(np.asarray(y)).max(), 1e-6)
+            diff = np.abs(np.asarray(x) - np.asarray(y)).max() / scale
+            assert diff < 1e-3, f"chunk {i}: rel diff {diff}"
 
     def test_prompt_length_shares_one_program(self, engine):
         """prompt_mel_len is traced (roll+mask, not a static slice): a serving
@@ -258,6 +286,7 @@ class TestIncrementalStream:
             engine.lm, engine.flow, engine.hift,
             engine.lm_params, engine.flow_params, engine.hift_params,
             token_hop_len=CHUNK, token_bucket=16, mel_bucket=8,
+            flow_incr_min_tok=0,  # same post-first-chunk path as `engine`
         )
         slow.speculative_first_chunk = False
         rng = np.random.default_rng(21)

@@ -48,7 +48,8 @@ def engine3():
     flow_params = flow.init(K(1))
     hift_params = hift.init(K(2), jnp.zeros((1, 12, 80)), K(3))
     return CosyVoice3Engine(
-        lm, flow, hift, lm_params, flow_params, hift_params, token_hop_len=CHUNK, token_bucket=16, mel_bucket=8
+        lm, flow, hift, lm_params, flow_params, hift_params, token_hop_len=CHUNK, token_bucket=16, mel_bucket=8,
+        flow_incr_min_tok=0,  # force the incremental path at test scales
     )
 
 
