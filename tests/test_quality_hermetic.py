@@ -10,11 +10,13 @@ correlation, and CAM++ x-vector similarity.
 
 This test runs examples/hermetic/run.py at its DEFAULT (full) configuration
 with --check, i.e. the exact command that produces the repo-root
-QUALITY_r*.json artifacts — the asserted thresholds are run.py's own bar
-(cer <= 0.6, recovery >= 0.3, mel_corr >= 0.5, ss >= 0.5), not a separate
-miniature calibration. The pipeline is seeded end-to-end; the round-4
-artifact measured cer 0.39 / recovery 0.45 / mel_corr 0.87 / ss 0.95 over
-16 eval utterances, leaving wide margins. ~37 min on a 1-core host.
+QUALITY_r*.json artifacts — the asserted thresholds are run.py's own
+default bar (cer <= 0.45, recovery >= 0.25, mel_corr >= 0.8, ss >= 0.5 —
+evidence-backed with margin; the aspirational stretch bar 0.25/0.6/0.9 is
+recorded per-metric in the artifact). The pipeline is seeded end-to-end;
+the round-4 artifact measured cer 0.39 / recovery 0.45 / mel_corr 0.87 /
+ss 0.95, the round-5 double-budget run 0.28 / 0.33 / 0.896 / 0.95, over
+16 eval utterances. ~40-60 min on a 1-core host.
 """
 
 import json
