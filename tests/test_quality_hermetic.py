@@ -11,7 +11,7 @@ correlation, and CAM++ x-vector similarity.
 This test runs examples/hermetic/run.py at its DEFAULT (full) configuration
 with --check, i.e. the exact command that produces the repo-root
 QUALITY_r*.json artifacts — the asserted thresholds are run.py's own
-default bar (cer <= 0.45, recovery >= 0.25, mel_corr >= 0.8, ss >= 0.5 —
+default bar (cer <= 0.5, recovery >= 0.25, mel_corr >= 0.8, ss >= 0.5 —
 evidence-backed with margin; the aspirational stretch bar 0.25/0.6/0.9 is
 recorded per-metric in the artifact). The pipeline is seeded end-to-end;
 the round-4 artifact measured cer 0.39 / recovery 0.45 / mel_corr 0.87 /
